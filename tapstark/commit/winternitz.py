@@ -1,0 +1,125 @@
+"""Winternitz one-time signatures over u32 messages (BitVM scheme).
+
+Behavioral port of the reference gadget
+(/root/reference/scripts/src/bit_comm/winternitz.rs): LOG_D=4 (hex digits),
+N0=8 message digits per u32, N1=2 checksum digits, hash160 chains of length
+16. checksig_verify leaves the 4 message bytes on the stack, LSB on top.
+"""
+
+from __future__ import annotations
+
+from ..hashes.ripemd160 import hash160
+from ..script import opcodes as op
+from ..script.builder import ScriptBuilder
+
+LOG_D = 4
+DIGITS = (1 << LOG_D) - 1  # 15
+N0 = 8
+N1 = 2
+N = N0 + N1
+
+
+def to_digits(number: int, digit_count: int) -> list[int]:
+    """Base-16 little-endian digits."""
+    return [(number >> (LOG_D * i)) & DIGITS for i in range(digit_count)]
+
+
+def checksum(message_digits: list[int]) -> int:
+    assert len(message_digits) == N0
+    return DIGITS * N0 - sum(message_digits)
+
+
+class Winternitz:
+    """Keypair for one u32 (N hash160 chains, one per digit)."""
+
+    __slots__ = ("secret_key", "pub_key")
+
+    def __init__(self, secret_key: bytes):
+        self.secret_key = secret_key
+        self.pub_key = [self._chain_end(i) for i in range(N)]
+
+    def _chain_start(self, digit_index: int) -> bytes:
+        return hash160(self.secret_key + bytes([digit_index]))
+
+    def _chain_end(self, digit_index: int) -> bytes:
+        h = self._chain_start(digit_index)
+        for _ in range(DIGITS):
+            h = hash160(h)
+        return h
+
+    def digit_signature(self, digit_index: int, message_digit: int) -> bytes:
+        h = self._chain_start(digit_index)
+        for _ in range(message_digit):
+            h = hash160(h)
+        return h
+
+    def sign(self, message_digits: list[int]) -> list[bytes]:
+        """Witness items (bottom→top of initial stack). Digit i's chain signs
+        checksum_digits[N-1-i] so a forger can only decrease the checksum while
+        increasing digits (domination-free, winternitz.rs:139-153)."""
+        all_digits = to_digits(checksum(message_digits), N1) + list(message_digits)
+        out: list[bytes] = []
+        for i in range(N):
+            d = all_digits[N - 1 - i]
+            out.append(self.digit_signature(i, d))
+            # minimal script-number encoding: zero digit is the empty item
+            out.append(bytes([d]) if d else b"")
+        return out
+
+    def checksig_verify(self) -> ScriptBuilder:
+        """Verify N digit signatures (witness on stack), recompute+check the
+        checksum, and leave the 4 message bytes on the stack (LSB on top)."""
+        sb = ScriptBuilder()
+        for digit_index in range(N):
+            sb.num(DIGITS).emit(op.OP_MIN)
+            sb.emit(op.OP_DUP, op.OP_TOALTSTACK, op.OP_TOALTSTACK)
+            for _ in range(DIGITS):
+                sb.emit(op.OP_DUP, op.OP_HASH160)
+            sb.emit(op.OP_FROMALTSTACK, op.OP_PICK)
+            sb.data(self.pub_key[N - 1 - digit_index])
+            sb.emit(op.OP_EQUALVERIFY)
+            for _ in range((DIGITS + 1) // 2):
+                sb.emit(op.OP_2DROP)
+        # checksum of the message digits
+        sb.emit(op.OP_FROMALTSTACK, op.OP_DUP, op.OP_NEGATE)
+        for _ in range(1, N0):
+            sb.emit(op.OP_FROMALTSTACK, op.OP_TUCK, op.OP_SUB)
+        sb.num(DIGITS * N0).emit(op.OP_ADD)
+        # sum the signed checksum digits
+        sb.emit(op.OP_FROMALTSTACK)
+        for _ in range(N1 - 1):
+            for _ in range(LOG_D):
+                sb.emit(op.OP_DUP, op.OP_ADD)
+            sb.emit(op.OP_FROMALTSTACK, op.OP_ADD)
+        sb.emit(op.OP_EQUALVERIFY)
+        # pack digit pairs into bytes; leave [b3, b2, b1, b0(top)]
+        for i in range(N0 // 2):
+            sb.emit(op.OP_SWAP)
+            for _ in range(LOG_D):
+                sb.emit(op.OP_DUP, op.OP_ADD)
+            sb.emit(op.OP_ADD)
+            if i != N0 // 2 - 1:
+                sb.emit(op.OP_TOALTSTACK)
+        for _ in range(N0 // 2 - 1):
+            sb.emit(op.OP_FROMALTSTACK)
+        return sb
+
+
+def u32_compress() -> ScriptBuilder:
+    """Combine the 4 bytes left by checksig_verify ([b3,b2,b1,b0(top)]) into
+    one script number b0 + 256*b1 + 65536*b2 + 16777216*b3.
+
+    Own convention (the reference's equivalent lives in the unavailable
+    external crate rust-bitcoin-u31-or-u30 / bitcoin-verifier): committed
+    values are indices or canonical BabyBear limbs, both < 2^31, so the
+    result always fits a positive 4-byte script number."""
+    sb = ScriptBuilder()
+    sb.num(3).emit(op.OP_ROLL)  # b3 to top
+    for k in range(3):
+        for _ in range(8):
+            sb.emit(op.OP_DUP, op.OP_ADD)  # acc *= 256
+        if k < 2:
+            sb.num(3 - k).emit(op.OP_ROLL, op.OP_ADD)  # + next byte (b2 then b1)
+        else:
+            sb.emit(op.OP_ADD)  # + b0
+    return sb
