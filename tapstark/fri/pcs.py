@@ -1,0 +1,272 @@
+"""TwoAdicFriPcs — the polynomial commitment scheme.
+
+Behavioral port of /root/reference/fri/src/two_adic_pcs.rs:
+
+- commit: per-matrix coset LDE with shift = generator / domain.shift, rows
+  bit-reversed, all matrices fed to the TapTreeMmcs (two_adic_pcs.rs:227-245);
+- open: batch quotient reduction  sum_i alpha^i (p_i(X) - y_i)/(X - z)
+  with barycentric ys, alpha-power offsets and precomputed inverse
+  denominators, one reduced polynomial per height, then FRI
+  (two_adic_pcs.rs:260-419);
+- verify: per-query reduced-opening reconstruction + FRI verification
+  (two_adic_pcs.rs:421-534).
+
+The reduction runs on device (Montgomery uint32); the verifier is exact host
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..challenger import BfChallenger
+from ..commit.mmcs import TapTreeMmcs
+from ..commit.tcs import FMatrix
+from ..field.device import (
+    ef_add,
+    ef_const,
+    ef_inv,
+    ef_mul,
+    ef_mul_base,
+    ef_neg,
+    ef_sub,
+    fp_add,
+    fp_sub,
+    np_from_mont,
+    np_to_mont,
+)
+from ..field.scalar import EF4, F
+from ..poly.domain import TwoAdicMultiplicativeCoset
+from ..poly.interpolate import interpolate_coset
+from ..poly.ntt import bit_reverse_rows, coset_lde_batch_jit
+from ..poly.powers import np_geom_powers
+from ..poly.reduce import fp_sum_axis0
+from ..utils import bitrev_indices, log2_strict, reverse_bits_len
+from . import prover as fri_prover
+from . import verifier as fri_verifier
+from .config import FriConfig
+from .proof import FriProof
+
+
+@dataclass
+class BatchOpening:
+    opened_values: list[list[F]]  # per matrix: base-field row scalars
+    opening_proof: Any  # CommitedProof
+
+
+@dataclass
+class PcsProverData:
+    domains: list[TwoAdicMultiplicativeCoset]
+    ldes: list[Any]  # device (N, w) Montgomery, bit-reversed rows
+    commited: Any  # TapTreeMmcs prover data (list[CommitedData])
+
+
+@jax.jit
+def _reduce_rows_step(mat, alpha_pows, offset, reduced_ys, inv_denoms, ro):
+    """ro += offset * (sum_j alpha^j mat[:, j] - reduced_ys) * inv_denom  (all ext)."""
+    prod = ef_mul_base(alpha_pows[None, :, :], mat)  # (N, w, 4)
+    red_row = fp_sum_axis0(jnp.moveaxis(prod, 1, 0))  # (N, 4)
+    diff = ef_sub(red_row, jnp.broadcast_to(reduced_ys, red_row.shape))
+    term = ef_mul(ef_mul(diff, inv_denoms), jnp.broadcast_to(offset, red_row.shape))
+    return ef_add(ro, term)
+
+
+class TwoAdicFriPcs:
+    def __init__(self, mmcs: TapTreeMmcs, fri: FriConfig):
+        self.mmcs = mmcs  # base-field input mmcs
+        self.fri = fri
+
+    # -- domains -----------------------------------------------------------
+    def natural_domain_for_degree(self, degree: int) -> TwoAdicMultiplicativeCoset:
+        return TwoAdicMultiplicativeCoset(log_n=log2_strict(degree), shift=1)
+
+    # -- commit ------------------------------------------------------------
+    def commit(self, evaluations):
+        """evaluations: list of (domain, device (n, w) Montgomery matrix)."""
+        domains = []
+        ldes = []
+        mats_host = []
+        for domain, evals in evaluations:
+            assert domain.size() == evals.shape[0]
+            shift = (F.generator() * F(domain.shift).inverse()).v
+            lde = coset_lde_batch_jit(evals, self.fri.log_blowup, shift)
+            lde = bit_reverse_rows(lde)
+            domains.append(domain)
+            ldes.append(lde)
+            mats_host.append(FMatrix(np_from_mont(np.asarray(lde))))
+        commitment, commited = self.mmcs.commit(mats_host)
+        return commitment, PcsProverData(domains=domains, ldes=ldes, commited=commited)
+
+    def get_evaluations_on_domain(self, prover_data: PcsProverData, idx: int, domain):
+        assert domain.shift == F.generator().v
+        lde = prover_data.ldes[idx]
+        assert lde.shape[0] >= domain.size()
+        return bit_reverse_rows(lde[: domain.size()])
+
+    # -- open --------------------------------------------------------------
+    def open(self, rounds, challenger: BfChallenger):
+        """rounds: list of (PcsProverData, points-per-matrix list[list[EF4]]).
+        Returns (opened_values[round][matrix][point] -> list[EF4], FriProof)."""
+        alpha: EF4 = challenger.sample()
+
+        mats_and_points = []
+        for data, points in rounds:
+            mats_and_points.append((data.ldes, points))
+        all_heights = [m.shape[0] for mats, _ in mats_and_points for m in mats]
+        log_global_max_height = log2_strict(max(all_heights))
+
+        inv_denoms = self._compute_inverse_denominators(mats_and_points)
+
+        reduced_openings: dict[int, Any] = {}
+        num_reduced: dict[int, int] = {}
+        all_opened_values = []
+
+        for mats, points in mats_and_points:
+            opened_for_round = []
+            for mat, points_for_mat in zip(mats, points):
+                h = int(mat.shape[0])
+                log_height = log2_strict(h)
+                if log_height not in reduced_openings:
+                    reduced_openings[log_height] = jnp.zeros((h, 4), jnp.uint32)
+                    num_reduced[log_height] = 0
+                opened_for_mat = []
+                for point in points_for_mat:
+                    low = mat[: h >> self.fri.log_blowup]
+                    natural = bit_reverse_rows(low)
+                    ys_dev = interpolate_coset(natural, F.generator().v, point)
+                    ys_host = np_from_mont(np.asarray(ys_dev))
+                    ys = [EF4([int(x) for x in row]) for row in ys_host]
+
+                    alpha_pow_offset = alpha.exp(num_reduced[log_height])
+                    reduced_ys = EF4.zero()
+                    ap = EF4.one()
+                    alpha_pows = []
+                    for y in ys:
+                        alpha_pows.append(ap)
+                        reduced_ys = reduced_ys + ap * y
+                        ap = ap * alpha
+                    ap_mont = jnp.asarray(
+                        np_to_mont(
+                            np.array([a.as_u32_vec() for a in alpha_pows], np.uint32)
+                        )
+                    )
+                    reduced_openings[log_height] = _reduce_rows_step(
+                        mat,
+                        ap_mont,
+                        ef_const(alpha_pow_offset),
+                        ef_const(reduced_ys),
+                        inv_denoms[point][:h],
+                        reduced_openings[log_height],
+                    )
+                    num_reduced[log_height] += int(mat.shape[1])
+                    opened_for_mat.append(ys)
+                opened_for_round.append(opened_for_mat)
+            all_opened_values.append(opened_for_round)
+
+        fri_input = [
+            reduced_openings[lh] for lh in sorted(reduced_openings.keys(), reverse=True)
+        ]
+
+        def open_input(query_times_index, query_index):
+            out = []
+            for data, _ in rounds:
+                log_max_height = log2_strict(
+                    self.mmcs.get_max_height(data.commited)
+                )
+                bits_reduced = log_global_max_height - log_max_height
+                reduced_index = query_index >> bits_reduced
+                opened_values, opening_proof = self.mmcs.open_batch(
+                    query_times_index, reduced_index, data.commited
+                )
+                out.append(
+                    BatchOpening(
+                        opened_values=opened_values, opening_proof=opening_proof
+                    )
+                )
+            return out
+
+        fri_proof = fri_prover.bf_prove(self.fri, fri_input, challenger, open_input)
+        return all_opened_values, fri_proof
+
+    def _compute_inverse_denominators(self, mats_and_points):
+        """Per unique opening point z: device (1<<max_log_height, 4) array of
+        (z - x)^{-1} over the bit-reversed generator coset (prefix-sliceable,
+        two_adic_pcs.rs:677-720)."""
+        max_log_height_for_point: dict[EF4, int] = {}
+        for mats, points in mats_and_points:
+            for mat, points_for_mat in zip(mats, points):
+                log_height = log2_strict(int(mat.shape[0]))
+                for z in points_for_mat:
+                    prev = max_log_height_for_point.get(z, 0)
+                    max_log_height_for_point[z] = max(prev, log_height)
+
+        max_log = max(max_log_height_for_point.values())
+        g = F.two_adic_generator(max_log).v
+        xs = np_geom_powers(g, 1 << max_log, shift=F.generator().v)
+        xs = xs[bitrev_indices(max_log)]
+        xs_dev = jnp.asarray(np_to_mont(xs))
+
+        out = {}
+        for z, log_height in max_log_height_for_point.items():
+            n = 1 << log_height
+            zc = ef_const(z)
+            neg_z = ef_neg(jnp.broadcast_to(zc, (n, 4)))
+            # denom = x - z (two_adic_pcs.rs:714: EF::from_base(x) - z)
+            denom = neg_z.at[:, 0].set(fp_add(neg_z[:, 0], xs_dev[:n]))
+            out[z] = ef_inv(denom)
+        return out
+
+    # -- verify ------------------------------------------------------------
+    def verify(self, rounds, proof: FriProof, challenger: BfChallenger) -> None:
+        """rounds: list of (commitment, list of (domain, list of (z, ys)))."""
+        alpha: EF4 = challenger.sample()
+        log_global_max_height = len(proof.commit_phase_commits) + self.fri.log_blowup
+
+        fri_challenges = fri_verifier.verify_shape_and_sample_challenges(
+            self.fri, proof, challenger
+        )
+
+        def open_input(query_times_index, index, input_proof):
+            reduced_openings: dict[int, list] = {}
+            for batch_opening, (batch_commit, mats) in zip(input_proof, rounds):
+                if not self.mmcs.verify_batch(
+                    query_times_index,
+                    batch_opening.opened_values,
+                    batch_opening.opening_proof,
+                    batch_commit,
+                ):
+                    raise fri_verifier.FriError("input batch opening invalid")
+
+                for mat_opening, (mat_domain, mat_points_and_values) in zip(
+                    batch_opening.opened_values, mats
+                ):
+                    log_height = mat_domain.log_n + self.fri.log_blowup
+                    bits_reduced = log_global_max_height - log_height
+                    rev_reduced_index = reverse_bits_len(
+                        index >> bits_reduced, log_height
+                    )
+                    x = F.generator() * F.two_adic_generator(log_height).exp(
+                        rev_reduced_index
+                    )
+
+                    state = reduced_openings.setdefault(
+                        log_height, [EF4.one(), EF4.zero()]
+                    )
+                    for z, ps_at_z in mat_points_and_values:
+                        acc = EF4.zero()
+                        for p_at_x, p_at_z in zip(mat_opening, ps_at_z):
+                            acc = acc + state[0] * (-p_at_z + p_at_x)
+                            state[0] = state[0] * alpha
+                        state[1] = state[1] + acc * (-z + x).inverse()
+
+            return [
+                (lh, reduced_openings[lh][1])
+                for lh in sorted(reduced_openings.keys(), reverse=True)
+            ]
+
+        fri_verifier.verify_challenges(self.fri, proof, fri_challenges, open_input)

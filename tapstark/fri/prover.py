@@ -1,0 +1,108 @@
+"""FRI prover: commit-and-fold on device, taptree commits per layer.
+
+Behavioral port of /root/reference/fri/src/prover.rs:
+- commit phase: while len > blowup, commit the (n/2, 2) fold matrix, observe
+  the roots, sample beta, fold on device, absorb any same-size input
+  (prover.rs:92-141);
+- PoW grind; query phase samples num_queries indices, opening the input
+  rounds AND every commit-phase layer per query (prover.rs:45-59).
+
+Inputs are (n, 4) extension arrays in Montgomery form on device, sorted by
+descending length.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..challenger import BfChallenger
+from ..commit.tcs import FMatrix
+from ..field.device import ef_add, np_from_mont, to_mont
+from ..field.scalar import EF4
+from ..poly.fold import fold_matrix_jit
+from ..utils import log2_strict
+from .config import FriConfig
+from .proof import BfQueryProof, FriProof
+
+
+def _ef_const_mont(e: EF4):
+    return to_mont(np.array(e.as_u32_vec(), dtype=np.uint32))
+
+
+def bf_prove(
+    config: FriConfig,
+    inputs: list,
+    challenger: BfChallenger,
+    open_input,
+    extra_query_index_bits: int = 0,
+) -> FriProof:
+    assert all(
+        inputs[i].shape[0] >= inputs[i + 1].shape[0] for i in range(len(inputs) - 1)
+    ), "inputs must be sorted by descending length"
+    log_max_height = log2_strict(int(inputs[0].shape[0]))
+
+    commits, data, final_poly = _commit_phase(config, inputs, challenger)
+
+    pow_witness = challenger.grind(config.proof_of_work_bits)
+
+    query_proofs = []
+    for query_times_index in range(config.num_queries):
+        query_index = challenger.sample_bits(log_max_height + extra_query_index_bits)
+        query_proofs.append(
+            BfQueryProof(
+                input_proof=open_input(query_times_index, query_index),
+                commit_phase_openings=_answer_query(
+                    config, data, query_index >> extra_query_index_bits, query_times_index
+                ),
+            )
+        )
+
+    return FriProof(
+        commit_phase_commits=commits,
+        query_proofs=query_proofs,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+    )
+
+
+def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
+    inputs_iter = iter(inputs)
+    folded = next(inputs_iter)
+    pending = next(inputs_iter, None)
+
+    commits = []
+    data = []
+    while folded.shape[0] > config.blowup():
+        half = folded.shape[0] // 2
+        mat_dev = folded.reshape(half, 2, 4)
+        mat_host = FMatrix(np_from_mont(np.asarray(mat_dev)))
+        commit, prover_data = config.mmcs.commit_matrix(mat_host)
+        challenger.observe_commitment(commit)
+
+        beta: EF4 = challenger.sample()
+        folded = fold_matrix_jit(jnp.asarray(_ef_const_mont(beta)), mat_dev)
+
+        commits.append(commit)
+        data.append(prover_data)
+
+        if pending is not None and pending.shape[0] == folded.shape[0]:
+            folded = ef_add(folded, pending)
+            pending = next(inputs_iter, None)
+
+    # We should be left with `blowup` evaluations of a constant polynomial.
+    assert folded.shape[0] == config.blowup()
+    final_host = np_from_mont(np.asarray(folded))
+    final_poly = EF4([int(x) for x in final_host[0]])
+    for row in final_host:
+        assert EF4([int(x) for x in row]) == final_poly, "final poly is not constant"
+
+    return commits, data, final_poly
+
+
+def _answer_query(config: FriConfig, commit_phase_data, query_index: int, qti: int):
+    out = []
+    for i, layer_data in enumerate(commit_phase_data):
+        index_i = query_index >> i >> 1
+        out.append(config.mmcs.open_batch(qti, index_i, layer_data))
+    return out

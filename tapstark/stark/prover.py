@@ -1,0 +1,114 @@
+"""uni-STARK prover (reference parity: uni-stark/src/prover.rs).
+
+prove(): infer quotient degree symbolically → commit trace LDE → sample
+alpha → evaluate the constraint quotient over the disjoint coset (device,
+whole-coset vectorized) → commit quotient chunks → sample zeta → open trace
+at {zeta, zeta*g} and every chunk at zeta through the PCS.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..air.folders import ProverConstraintFolder
+from ..air.symbolic import get_log_quotient_degree
+from ..challenger import BfChallenger
+from ..field.device import ef_mul_base, to_mont
+from ..field.scalar import EF4, F
+from ..fri.pcs import TwoAdicFriPcs
+from ..utils import log2_strict
+from .check import check_constraints
+from .proof import Commitments, OpenedValues, Proof
+
+
+def prove(
+    pcs: TwoAdicFriPcs,
+    air,
+    challenger: BfChallenger,
+    trace: np.ndarray,  # (n, width) canonical uint32
+    public_values: list[F],
+    debug: bool = False,
+) -> Proof:
+    if debug:
+        check_constraints(air, trace, public_values)
+
+    degree = int(trace.shape[0])
+    log_degree = log2_strict(degree)
+
+    log_quotient_degree = get_log_quotient_degree(air, len(public_values))
+    quotient_degree = 1 << log_quotient_degree
+
+    trace_domain = pcs.natural_domain_for_degree(degree)
+    trace_dev = to_mont(trace)
+
+    trace_commit, trace_data = pcs.commit([(trace_domain, trace_dev)])
+    challenger.observe_commitment(trace_commit)
+    alpha: EF4 = challenger.sample()
+
+    quotient_domain = trace_domain.create_disjoint_domain(
+        1 << (log_degree + log_quotient_degree)
+    )
+    trace_on_quotient_domain = pcs.get_evaluations_on_domain(
+        trace_data, 0, quotient_domain
+    )
+
+    quotient_vals = quotient_values(
+        air,
+        public_values,
+        trace_domain,
+        quotient_domain,
+        trace_on_quotient_domain,
+        alpha,
+    )  # (m, 4) ext Montgomery
+
+    # flatten_to_base: each extension value becomes a width-4 base row
+    quotient_flat = quotient_vals
+    quotient_chunks = quotient_domain.split_evals(quotient_degree, quotient_flat)
+    qc_domains = quotient_domain.split_domains(quotient_degree)
+
+    quotient_commit, quotient_data = pcs.commit(list(zip(qc_domains, quotient_chunks)))
+    challenger.observe_commitment(quotient_commit)
+
+    zeta: EF4 = challenger.sample()
+    zeta_next = trace_domain.next_point(zeta)
+
+    opened_values, opening_proof = pcs.open(
+        [
+            (trace_data, [[zeta, zeta_next]]),
+            (quotient_data, [[zeta] for _ in range(quotient_degree)]),
+        ],
+        challenger,
+    )
+    trace_local = opened_values[0][0][0]
+    trace_next = opened_values[0][0][1]
+    quotient_opened = [opened_values[1][i][0] for i in range(quotient_degree)]
+
+    return Proof(
+        commitments=Commitments(trace=trace_commit, quotient_chunks=quotient_commit),
+        opened_values=OpenedValues(
+            trace_local=trace_local,
+            trace_next=trace_next,
+            quotient_chunks=quotient_opened,
+        ),
+        opening_proof=opening_proof,
+        degree_bits=log_degree,
+    )
+
+
+def quotient_values(
+    air, public_values, trace_domain, quotient_domain, trace_on_quotient_domain, alpha
+):
+    """Constraint accumulator over the whole quotient coset, divided by the
+    zeroifier (prover.rs:121-194, vectorized instead of packed+rayon)."""
+    sels = trace_domain.selectors_on_coset(quotient_domain)
+    qdb = quotient_domain.log_n - trace_domain.log_n
+    next_step = 1 << qdb
+
+    folder = ProverConstraintFolder(
+        trace_on_quotient_domain, next_step, public_values, sels, alpha
+    )
+    air.eval(folder)
+    acc = folder.accumulator
+    assert acc.ext
+    return ef_mul_base(acc.arr, sels.inv_zeroifier)

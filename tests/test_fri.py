@@ -1,0 +1,207 @@
+"""FRI + PCS tests (mirror reference fri/tests/fri.rs and fri/tests/pcs.rs):
+standalone FRI commit/fold/verify roundtrip with prover/verifier transcript
+sync, and TwoAdicFriPcs commit/open/verify over several shape combinations."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tapstark.challenger import BfChallenger
+from tapstark.commit import BcManager, TapTreeMmcs
+from tapstark.field import EF4, F, P
+from tapstark.field.device import np_from_mont, to_mont
+from tapstark.fri import FriConfig, FriError, TwoAdicFriPcs, bf_prove
+from tapstark.fri import verifier as fri_verifier
+from tapstark.poly import bit_reverse_rows, ntt
+from tapstark.utils import log2_strict
+
+
+def _low_degree_ext_vector(log_n: int, log_blowup: int, rng) -> jnp.ndarray:
+    """Evals over H_n (bitrev order) of a random EF4 poly of matching rate,
+    as a device (n, 4) Montgomery array."""
+    n = 1 << log_n
+    d = n >> log_blowup
+    coeffs = np.zeros((n, 4), np.uint32)
+    coeffs[:d] = rng.integers(0, P, (d, 4))
+    evals = ntt(to_mont(coeffs))
+    return bit_reverse_rows(evals)
+
+
+def _fri_cfg(num_queries=2, log_blowup=1, pow_bits=4):
+    return FriConfig(
+        log_blowup=log_blowup,
+        num_queries=num_queries,
+        proof_of_work_bits=pow_bits,
+        mmcs=TapTreeMmcs(BcManager(), num_queries, ext=True),
+    )
+
+
+def test_fri_prove_verify_roundtrip():
+    rng = np.random.default_rng(0)
+    log_n = 5
+    cfg = _fri_cfg()
+    vec = _low_degree_ext_vector(log_n, cfg.log_blowup, rng)
+    vec_host = np_from_mont(np.asarray(vec))
+
+    p_ch = BfChallenger()
+    proof = bf_prove(cfg, [vec], p_ch, lambda qti, qidx: qidx)
+
+    v_ch = BfChallenger()
+    challenges = fri_verifier.verify_shape_and_sample_challenges(cfg, proof, v_ch)
+    assert challenges.betas == [
+        s for s in p_ch.sample_output[: len(challenges.betas)]
+    ]
+
+    def open_input(qti, qidx, input_proof):
+        assert input_proof == qidx  # stashed by the prover closure
+        return [(log_n, EF4([int(x) for x in vec_host[qidx]]))]
+
+    fri_verifier.verify_challenges(cfg, proof, challenges, open_input)
+
+    # transcript sync (reference fri/tests/fri.rs:142-147)
+    assert p_ch.sample_bits(8) == v_ch.sample_bits(8)
+
+
+def test_fri_rejects_wrong_final_poly():
+    rng = np.random.default_rng(1)
+    cfg = _fri_cfg()
+    vec = _low_degree_ext_vector(4, cfg.log_blowup, rng)
+    vec_host = np_from_mont(np.asarray(vec))
+    p_ch = BfChallenger()
+    proof = bf_prove(cfg, [vec], p_ch, lambda qti, qidx: qidx)
+    proof.final_poly = proof.final_poly + EF4.one()
+    v_ch = BfChallenger()
+    ch = fri_verifier.verify_shape_and_sample_challenges(cfg, proof, v_ch)
+    with pytest.raises(FriError):
+        fri_verifier.verify_challenges(
+            cfg,
+            proof,
+            ch,
+            lambda qti, qidx, ip: [(4, EF4([int(x) for x in vec_host[qidx]]))],
+        )
+
+
+def test_fri_rejects_high_degree():
+    # a full-degree vector cannot fold to a constant
+    rng = np.random.default_rng(2)
+    cfg = _fri_cfg()
+    n = 1 << 4
+    coeffs = rng.integers(0, P, (n, 4)).astype(np.uint32)
+    vec = bit_reverse_rows(ntt(to_mont(coeffs)))
+    with pytest.raises(AssertionError):
+        bf_prove(cfg, [vec], BfChallenger(), lambda qti, qidx: qidx)
+
+
+def _make_pcs(num_queries=2, log_blowup=1):
+    cfg = _fri_cfg(num_queries=num_queries, log_blowup=log_blowup)
+    pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), num_queries, ext=False), cfg)
+    return pcs
+
+
+def _do_test_pcs(log_degrees_by_round, log_blowup=1):
+    """Mirror of fri/tests/pcs.rs do_test_fri_pcs."""
+    rng = np.random.default_rng(42)
+    pcs = _make_pcs(log_blowup=log_blowup)
+
+    domains_and_polys_by_round = []
+    for log_degrees in log_degrees_by_round:
+        dps = []
+        for ld in log_degrees:
+            d = 1 << ld
+            width = 2 + int(rng.integers(0, 3))
+            evals = to_mont(rng.integers(0, P, (d, width)).astype(np.uint32))
+            dps.append((pcs.natural_domain_for_degree(d), evals))
+        domains_and_polys_by_round.append(dps)
+
+    commits, datas = [], []
+    for dps in domains_and_polys_by_round:
+        c, d = pcs.commit(dps)
+        commits.append(c)
+        datas.append(d)
+
+    p_ch = BfChallenger()
+    for c in commits:
+        p_ch.observe_commitment(c)
+    zeta = p_ch.sample()
+
+    rounds = [(d, [[zeta]] * len(dps)) for d, dps in zip(datas, domains_and_polys_by_round)]
+    openings, proof = pcs.open(rounds, p_ch)
+
+    v_ch = BfChallenger()
+    for c in commits:
+        v_ch.observe_commitment(c)
+    verifier_zeta = v_ch.sample()
+    assert verifier_zeta == zeta
+
+    verify_rounds = []
+    for commit, dps, opening in zip(commits, domains_and_polys_by_round, openings):
+        claims = [
+            (domain, [(zeta, mat_openings[0])])
+            for (domain, _), mat_openings in zip(dps, opening)
+        ]
+        verify_rounds.append((commit, claims))
+    pcs.verify(verify_rounds, proof, v_ch)
+
+    # transcript sync between prover and verifier
+    assert p_ch.sample_bits(8) == v_ch.sample_bits(8)
+
+    # opened values are the actual polynomial evaluations at zeta
+    for dps, opening in zip(domains_and_polys_by_round, openings):
+        for (domain, evals), mat_openings in zip(dps, opening):
+            evals_host = np_from_mont(np.asarray(evals))
+            n = evals_host.shape[0]
+            g = F.two_adic_generator(log2_strict(n))
+            for j, got in enumerate(mat_openings[0]):
+                acc = EF4.zero()
+                # interpolate via Lagrange over the natural domain (shift 1)
+                # using the exact host path: sum_i y_i * prod...
+                # cheaper: evaluate via the coefficient form
+                pass
+            # coefficient check: intt then horner at zeta
+            from tapstark.poly import intt
+
+            coeffs = np_from_mont(np.asarray(intt(to_mont(evals_host))))
+            for j, got in enumerate(mat_openings[0]):
+                acc = EF4.zero()
+                for k in range(n - 1, -1, -1):
+                    acc = acc * zeta + EF4((int(coeffs[k, j]), 0, 0, 0))
+                assert got == acc
+
+    return proof
+
+
+def test_pcs_single():
+    _do_test_pcs([[3]])
+
+
+def test_pcs_many_different_sizes_one_round():
+    _do_test_pcs([[5, 4, 3]])
+
+
+def test_pcs_multiple_rounds():
+    _do_test_pcs([[4], [3]])
+
+
+def test_pcs_blowup_two():
+    _do_test_pcs([[3]], log_blowup=2)
+
+
+def test_pcs_tampered_opening_rejected():
+    rng = np.random.default_rng(7)
+    pcs = _make_pcs()
+    d = 1 << 3
+    evals = to_mont(rng.integers(0, P, (d, 2)).astype(np.uint32))
+    domain = pcs.natural_domain_for_degree(d)
+    commit, data = pcs.commit([(domain, evals)])
+
+    p_ch = BfChallenger()
+    p_ch.observe_commitment(commit)
+    zeta = p_ch.sample()
+    openings, proof = pcs.open([(data, [[zeta]])], p_ch)
+
+    v_ch = BfChallenger()
+    v_ch.observe_commitment(commit)
+    _ = v_ch.sample()
+    bad = [v + EF4.one() for v in openings[0][0][0]]
+    with pytest.raises(FriError):
+        pcs.verify([(commit, [(domain, [(zeta, bad)])])], proof, v_ch)
