@@ -1,0 +1,109 @@
+"""Benchmark: NTT butterflies/sec/chip on the prover-core LDE at 2^20 rows.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no wall-clock numbers (BASELINE.md); vs_baseline is
+therefore the speedup of the accelerator kernels over a single-thread numpy
+uint64 implementation of the same radix-2 NTT on this host (per-butterfly,
+measured at 2^16 and scaled) — the honest "vs CPU reference" ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _numpy_ntt_butterfly_cost(log_n: int = 16) -> float:
+    """Seconds per butterfly for a vectorized numpy uint64 radix-2 NTT."""
+    from tapstark.field.constants import P, two_adic_generator
+    from tapstark.utils import bitrev_indices
+
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, P, n, dtype=np.uint64)
+    tws = []
+    for s in range(1, log_n + 1):
+        g = pow(two_adic_generator(s), 1, P)
+        half = 1 << (s - 1)
+        tw = np.empty(half, dtype=np.uint64)
+        acc = 1
+        for i in range(half):
+            tw[i] = acc
+            acc = acc * g % P
+        tws.append(tw)
+
+    def run(x):
+        x = x[bitrev_indices(log_n)]
+        for s in range(1, log_n + 1):
+            m = 1 << s
+            half = m >> 1
+            blk = x.reshape(n // m, m)
+            lo = blk[:, :half]
+            hi = blk[:, half:]
+            t = (hi * tws[s - 1]) % P
+            x = np.concatenate([(lo + t) % P, (lo - t) % P], axis=1).reshape(n)
+        return x
+
+    run(x)  # warm
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run(x)
+    dt = (time.perf_counter() - t0) / reps
+    return dt / (n // 2 * log_n)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tapstark.field.constants import P
+    from tapstark.field.device import np_to_mont
+    from tapstark.field.scalar import F
+    from tapstark.poly.ntt import coset_lde_batch
+
+    log_n = 20
+    log_blowup = 2
+    width = 2
+    n = 1 << log_n
+    big_log = log_n + log_blowup
+    shift = F.generator().v
+
+    rng = np.random.default_rng(0)
+    trace = jnp.asarray(np_to_mont(rng.integers(0, P, (n, width)).astype(np.uint32)))
+
+    lde_fn = jax.jit(lambda t: coset_lde_batch(t, log_blowup, shift))
+    jax.block_until_ready(lde_fn(trace))  # compile + warm
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = lde_fn(trace)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    # butterflies: iNTT of size n plus forward NTT of size n<<blowup, x width
+    butterflies = width * ((n // 2) * log_n + ((n << log_blowup) // 2) * big_log)
+    rate = butterflies / dt
+
+    numpy_cost = _numpy_ntt_butterfly_cost()
+    vs_baseline = rate * numpy_cost  # speedup vs single-thread numpy reference
+
+    print(
+        json.dumps(
+            {
+                "metric": "coset-LDE NTT butterflies/sec/chip (2^20 rows, blowup 4, width 2)",
+                "value": rate,
+                "unit": "butterflies/s",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

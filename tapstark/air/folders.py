@@ -114,7 +114,13 @@ class ProverConstraintFolder(AirBuilder):
         )
         self._public = public_values
         self._sels = sels
-        self._alpha = DExpr.const(alpha)
+        # alpha: host EF4 scalar, a DExpr, or a traced (4,) Montgomery array
+        if isinstance(alpha, DExpr):
+            self._alpha = alpha
+        elif isinstance(alpha, (EF4, F, int)):
+            self._alpha = DExpr.const(alpha)
+        else:
+            self._alpha = DExpr(alpha, True)
         self.accumulator = DExpr(jnp.zeros((m, 4), jnp.uint32), True)
 
     def main(self):
