@@ -1,0 +1,278 @@
+"""In-script BabyBear field arithmetic gadgets.
+
+Own designs filling the role of the external rust-bitcoin-u31-or-u30 crate
+(u31_add/sub/neg/mul, u31ext_* — reference scripts/src/lib.rs:24-72 re-exports
+them; the in-tree double-and-add mul at scripts/src/u31/mod.rs:17-129 is the
+documented shape). All values are canonical BabyBear limbs (< p < 2^31), so
+every intermediate fits a 4-byte script number: a+b mod p is computed as
+a + (b - p) with a conditional +p fixup, keeping magnitudes below 2^31.
+
+Extension elements occupy 4 stack slots with the HIGH coefficient deepest and
+coefficient 0 on top ([a3 a2 a1 a0(top)]), matching the reference's push
+order (e.g. bit_comm.rs:212-215 pushes a[3] a[2] a[1] a[0]).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from ..field.constants import EXT_W, P
+from ..script import opcodes as op
+from ..script.builder import ScriptBuilder
+
+
+def _sb() -> ScriptBuilder:
+    return ScriptBuilder()
+
+
+# ---------------------------------------------------------------------------
+# base field (1 limb)
+# ---------------------------------------------------------------------------
+
+
+def u31_add() -> ScriptBuilder:
+    """[a b] -> [(a+b) mod p]"""
+    sb = _sb()
+    sb.num(P).emit(op.OP_SUB)  # b - p (negative)
+    sb.emit(op.OP_ADD)  # a + b - p in (-p, p)
+    sb.emit(op.OP_DUP).num(0).emit(op.OP_LESSTHAN)
+    sb.emit(op.OP_IF).num(P).emit(op.OP_ADD).emit(op.OP_ENDIF)
+    return sb
+
+
+def u31_sub() -> ScriptBuilder:
+    """[a b] -> [(a-b) mod p]"""
+    sb = _sb()
+    sb.emit(op.OP_SUB)
+    sb.emit(op.OP_DUP).num(0).emit(op.OP_LESSTHAN)
+    sb.emit(op.OP_IF).num(P).emit(op.OP_ADD).emit(op.OP_ENDIF)
+    return sb
+
+
+def u31_neg() -> ScriptBuilder:
+    """[a] -> [(-a) mod p]"""
+    sb = _sb()
+    sb.emit(op.OP_DUP, op.OP_0NOTEQUAL)
+    sb.emit(op.OP_IF).num(P).emit(op.OP_SWAP, op.OP_SUB).emit(op.OP_ENDIF)
+    return sb
+
+
+def u31_double() -> ScriptBuilder:
+    """[a] -> [2a mod p]"""
+    sb = _sb()
+    sb.emit(op.OP_DUP)
+    sb.extend(u31_add())
+    return sb
+
+
+def u31_to_bits(bits: int = 31) -> ScriptBuilder:
+    """[a] -> altstack gets a's bits LSB-pushed-last? No: pushes bit b_{bits-1}
+    first ... b_0 last, leaving nothing on the main stack. (Each bit extracted
+    high-to-low by threshold comparison.)"""
+    sb = _sb()
+    for j in range(bits - 1, -1, -1):
+        sb.emit(op.OP_DUP).num(1 << j).emit(op.OP_GREATERTHANOREQUAL)
+        sb.emit(op.OP_IF).num(1 << j).emit(op.OP_SUB).num(1)
+        sb.emit(op.OP_ELSE).num(0).emit(op.OP_ENDIF)
+        sb.emit(op.OP_TOALTSTACK)
+    sb.emit(op.OP_DROP)  # the remaining 0
+    return sb
+
+
+@functools.lru_cache(maxsize=None)
+def _u31_mul_bytes() -> bytes:
+    """[a b] -> [a*b mod p] via add-and-double over b's 31 bits
+    (the documented in-tree shape, scripts/src/u31/mod.rs)."""
+    sb = _sb()
+    # decompose b: altstack = [b30 ... b0(top)] — pops LSB-first below
+    sb.extend(u31_to_bits())
+    sb.num(0)  # stack: [a, acc]
+    for j in range(31):
+        sb.emit(op.OP_FROMALTSTACK)  # bit j (LSB first)
+        sb.emit(op.OP_IF)
+        sb.emit(op.OP_OVER)  # copy a*2^j
+        sb.extend(u31_add())
+        sb.emit(op.OP_ENDIF)
+        if j != 30:
+            sb.emit(op.OP_SWAP)
+            sb.extend(u31_double())
+            sb.emit(op.OP_SWAP)
+    sb.emit(op.OP_NIP)  # drop the doubled a, keep acc
+    return sb.build()
+
+
+def u31_mul() -> ScriptBuilder:
+    return ScriptBuilder(_u31_mul_bytes())
+
+
+def u31_square() -> ScriptBuilder:
+    sb = _sb()
+    sb.emit(op.OP_DUP)
+    sb.extend(u31_mul())
+    return sb
+
+
+def u31_mul_by_constant(c: int) -> ScriptBuilder:
+    """[a] -> [a*c mod p] — fixed double-and-add chain over the constant."""
+    c %= P
+    sb = _sb()
+    if c == 0:
+        sb.emit(op.OP_DROP).num(0)
+        return sb
+    bits = bin(c)[2:]
+    # stack: [a]; keep a copy while accumulating
+    sb.emit(op.OP_DUP)  # [a, acc=a] (MSB is always 1)
+    for b in bits[1:]:
+        sb.extend(u31_double())
+        if b == "1":
+            sb.emit(op.OP_OVER)
+            sb.extend(u31_add())
+    sb.emit(op.OP_NIP)
+    return sb
+
+
+def u31_equalverify() -> ScriptBuilder:
+    return _sb().emit(op.OP_EQUALVERIFY)
+
+
+# ---------------------------------------------------------------------------
+# quartic extension (4 limbs, stack [a3 a2 a1 a0(top)])
+# ---------------------------------------------------------------------------
+
+
+def u31ext_push(limbs: list[int]) -> ScriptBuilder:
+    """Push an extension constant [c0..c3] as [c3 c2 c1 c0(top)]."""
+    sb = _sb()
+    for v in reversed(limbs):
+        sb.num(v % P)
+    return sb
+
+
+def u31ext_equalverify() -> ScriptBuilder:
+    """[a3..a0 b3..b0] -> () verifying a == b."""
+    sb = _sb()
+    for i in range(4):
+        # (4-i) remaining b-limbs sit above a_i
+        sb.num(4 - i).emit(op.OP_ROLL)
+        sb.emit(op.OP_EQUALVERIFY)
+    return sb
+
+
+def u31ext_add() -> ScriptBuilder:
+    """[a3..a0 b3..b0] -> [(a+b)3..0]"""
+    sb = _sb()
+    for i in range(4):
+        # stack holds (4-i) a-limbs then (4-i) b-limbs; a_i is at depth 4-i
+        sb.num(4 - i).emit(op.OP_ROLL)
+        sb.extend(u31_add())
+        sb.emit(op.OP_TOALTSTACK)
+    for _ in range(4):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb
+
+
+def u31ext_sub() -> ScriptBuilder:
+    """[a3..a0 b3..b0] -> [(a-b)3..0]"""
+    sb = _sb()
+    for i in range(4):
+        sb.num(4 - i).emit(op.OP_ROLL)  # a_i to top (above b_i)
+        sb.emit(op.OP_SWAP)  # [.., a_i, b_i(top)]
+        sb.extend(u31_sub())
+        sb.emit(op.OP_TOALTSTACK)
+    for _ in range(4):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb
+
+
+def u31ext_neg() -> ScriptBuilder:
+    sb = _sb()
+    for i in range(4):
+        sb.extend(u31_neg())
+        sb.emit(op.OP_TOALTSTACK)
+    for _ in range(4):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb
+
+
+def u31ext_double() -> ScriptBuilder:
+    sb = _sb()
+    for i in range(4):
+        sb.extend(u31_double())
+        sb.emit(op.OP_TOALTSTACK)
+    for _ in range(4):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb
+
+
+@functools.lru_cache(maxsize=None)
+def _u31ext_mul_bytes() -> bytes:
+    """[a3..a0 b3..b0] -> [(a*b)3..0]: schoolbook product with x^4 = W
+    reduction. c_k = sum_{i+j=k} a_i b_j + W * sum_{i+j=k+4} a_i b_j."""
+    sb = _sb()
+    # stack layout (from top): b0=0 b1=1 b2=2 b3=3 a0=4 a1=5 a2=6 a3=7
+    depth = {("b", 0): 0, ("b", 1): 1, ("b", 2): 2, ("b", 3): 3,
+             ("a", 0): 4, ("a", 1): 5, ("a", 2): 6, ("a", 3): 7}
+
+    def pick_pair(i: int, j: int, extra: int) -> None:
+        # copy a_i and b_j to the top (extra = items already pushed above)
+        sb.num(depth[("a", i)] + extra).emit(op.OP_PICK)
+        sb.num(depth[("b", j)] + extra + 1).emit(op.OP_PICK)
+
+    # compute c0..c3, parking each on the altstack (c0 first, so the final
+    # unload leaves [c3 c2 c1 c0(top)])
+    for k in (0, 1, 2, 3):
+        lo_terms = [(i, k - i) for i in range(4) if 0 <= k - i < 4]
+        hi_terms = [(i, k + 4 - i) for i in range(4) if 0 <= k + 4 - i < 4]
+        first = True
+        for i, j in lo_terms:
+            pick_pair(i, j, 0 if first else 1)
+            sb.extend(u31_mul())
+            if not first:
+                sb.extend(u31_add())
+            first = False
+        if hi_terms:
+            hfirst = True
+            for i, j in hi_terms:
+                pick_pair(i, j, 1 if hfirst else 2)
+                sb.extend(u31_mul())
+                if not hfirst:
+                    sb.extend(u31_add())
+                hfirst = False
+            sb.extend(u31_mul_by_constant(EXT_W))
+            sb.extend(u31_add())
+        sb.emit(op.OP_TOALTSTACK)
+    # drop a and b (8 items)
+    for _ in range(4):
+        sb.emit(op.OP_2DROP)
+    sb.emit(op.OP_FROMALTSTACK, op.OP_FROMALTSTACK, op.OP_FROMALTSTACK, op.OP_FROMALTSTACK)
+    return sb.build()
+
+
+def u31ext_mul() -> ScriptBuilder:
+    return ScriptBuilder(_u31ext_mul_bytes())
+
+
+def u31ext_mul_u31() -> ScriptBuilder:
+    """[a3..a0 b] -> [(a*b)3..0] with base b."""
+    sb = _sb()
+    for i in range(4):
+        if i < 3:
+            # [.., a_i, b] -> [.., b, b, a_i] -> r_i to altstack, keep one b
+            sb.emit(op.OP_DUP, op.OP_ROT)
+            sb.extend(u31_mul())
+            sb.emit(op.OP_TOALTSTACK)
+        else:
+            sb.extend(u31_mul())
+            sb.emit(op.OP_TOALTSTACK)
+    for _ in range(4):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb
+
+
+def u31_to_u31ext() -> ScriptBuilder:
+    """[a] -> [0 0 0 a(top)] (embed base into the extension)."""
+    sb = _sb()
+    sb.num(0).num(0).num(0)
+    # stack [a 0 0 0] -> rearrange to [0 0 0 a]
+    sb.num(3).emit(op.OP_ROLL)
+    return sb
