@@ -588,14 +588,35 @@ def compile_program(inputs: list[InputVar], roots: list[Expr]) -> bytes:
         for c in reversed(e.children):
             stack.pop_temp(_size_of_type(c.vtype))
         stack.push_temp(size)
-        if counts.get(e.id, 0) > 1 and size > 0:
-            # retain the original, push a working copy for the parent
-            stack.retain_top(e.id)
-            computed.add(e.id)
-            _copy_segment(sb, 0, size)
-            stack.push_temp(size)
 
-    bool_results = 0
+    # Phase 1: materialize every shared subexpression once, child-first, into
+    # a retained region just above the inputs. Because descendants are
+    # retained before their ancestors, each computation only creates pure
+    # temporaries above the retained region (operands stay contiguous).
+    shared: list[Expr] = []
+    seen: set[int] = set()
+
+    def collect(e: Expr):
+        if e.id in seen:
+            return
+        seen.add(e.id)
+        for c in e.children:
+            collect(c)
+        if (
+            counts.get(e.id, 0) > 1
+            and e.kind != "input"
+            and _size_of_type(e.vtype) > 0
+        ):
+            shared.append(e)
+
+    for r in roots:
+        collect(r)
+    for e in shared:
+        emit(e)
+        stack.retain_top(e.id)
+        computed.add(e.id)
+
+    # Phase 2: evaluate the verification roots.
     for r in roots:
         emit(r)
         sz = _size_of_type(r.vtype)

@@ -270,3 +270,68 @@ class TwoAdicFriPcs:
             ]
 
         fri_verifier.verify_challenges(self.fri, proof, fri_challenges, open_input)
+
+    # -- script-verifier emission ------------------------------------------
+    def generate_verify_expr(self, rounds, proof: FriProof, challenger: BfChallenger):
+        """Emit the Bitcoin-Script FRI/PCS verification expressions while
+        natively verifying the openings (reference two_adic_pcs.rs:552-675).
+        Returns the ManagerAssign with one InputManager per FRI query."""
+        from ..dsl.expr import Expr
+        from . import script_verifier as fri_script
+
+        alpha: EF4 = challenger.sample()
+        log_global_max_height = len(proof.commit_phase_commits) + self.fri.log_blowup
+
+        fri_challenges = fri_script.bf_sample_challenges(self.fri, proof, challenger)
+
+        def open_input(query_times_index, index, input_proof, manager):
+            reduced_openings: dict[int, list] = {}
+            for batch_opening, (batch_commit, mats) in zip(input_proof, rounds):
+                if not self.mmcs.verify_batch(
+                    query_times_index,
+                    batch_opening.opened_values,
+                    batch_opening.opening_proof,
+                    batch_commit,
+                ):
+                    raise fri_verifier.FriError("input batch opening invalid")
+
+                for mat_opening, (mat_domain, mat_points_and_values) in zip(
+                    batch_opening.opened_values, mats
+                ):
+                    log_height = mat_domain.log_n + self.fri.log_blowup
+                    bits_reduced = log_global_max_height - log_height
+                    rev_reduced_index = reverse_bits_len(
+                        index >> bits_reduced, log_height
+                    )
+                    x = F.generator() * F.two_adic_generator(log_height).exp(
+                        rev_reduced_index
+                    )
+
+                    state = reduced_openings.setdefault(
+                        log_height,
+                        [EF4.one(), Expr.constant(EF4.zero())],
+                    )
+                    for z, ps_at_z in mat_points_and_values:
+                        acc = Expr.constant(EF4.zero())
+                        for p_at_x, p_at_z in zip(mat_opening, ps_at_z):
+                            acc = acc + Expr.constant(state[0]) * (
+                                manager.assign_input_f(-p_at_z)
+                                + manager.assign_input_f(p_at_x)
+                            )
+                            state[0] = state[0] * alpha
+                        x_minus_z = -z + EF4.from_base(x)
+                        inv = manager.assign_hint_input_f(x_minus_z.inverse())
+                        manager.add_hint_verify(
+                            (Expr.constant(x_minus_z) * inv).equal_verify_for_f(
+                                EF4.one()
+                            )
+                        )
+                        state[1] = state[1] + acc * inv
+            return [
+                (lh, reduced_openings[lh][1])
+                for lh in sorted(reduced_openings.keys(), reverse=True)
+            ]
+
+        return fri_script.bf_verify_challenges(
+            self.fri, proof, fri_challenges, open_input
+        )

@@ -1,0 +1,162 @@
+"""FRI script verifier — emits the per-query Bitcoin-Script verification
+expressions while natively re-verifying the proof.
+
+Reference parity: fri/src/script_verifier.rs and the DSL fold
+fold_row_with_expr (fri/src/two_adic_pcs.rs:153-200). Per query a dedicated
+InputManager holds the witness (openings, betas, final poly) and prover hints
+(multiplicative inverses, verified in-script). The in-script fold uses the
+accumulated folded value for the queried point (linking the input openings
+through every layer) and the committed sibling as witness.
+
+Challenger-consistency expressions (sample/grind replay in script) live in
+dsl.challenger_expr and are appended by the uni-stark script verifier.
+"""
+
+from __future__ import annotations
+
+from ..challenger import BfChallenger
+from ..dsl.expr import Expr, InputManager, ManagerAssign
+from ..field.scalar import EF4, F
+from .config import FriConfig
+from .proof import FriProof
+from .verifier import FriChallenges, FriError, verify_shape_and_sample_challenges
+
+
+def bf_sample_challenges(
+    config: FriConfig, proof: FriProof, challenger: BfChallenger
+) -> FriChallenges:
+    """Native transcript replay (the DSL challenger replay is emitted
+    separately by the challenger-expression layer)."""
+    return verify_shape_and_sample_challenges(config, proof, challenger)
+
+
+def fold_row_with_expr(
+    folded_eval: Expr,
+    sibling_eval: Expr,
+    x: Expr,
+    x_hint: F,
+    point_index: int,
+    index_sibling: int,
+    beta: Expr,
+    manager: InputManager,
+) -> Expr:
+    """One in-script fold: 2-point interpolation at beta with the inverse of
+    (xs[1]-xs[0]) supplied as a verified hint. Unlike the reference (which
+    multiplies by the inverse as a bare constant and separately verifies an
+    assigned copy), the verified hint input itself is used in the fold."""
+    g1 = F.two_adic_generator(1)
+    rev_x_hint = x_hint * g1
+    xs_hint = [x_hint, x_hint]
+    xs_hint[index_sibling % 2] = rev_x_hint
+    inv_val = (xs_hint[1] - xs_hint[0]).inverse()
+
+    if index_sibling % 2 == 0:
+        xs_0 = x * Expr.constant(g1)
+        xs_1 = x
+    else:
+        xs_0 = x
+        xs_1 = x * Expr.constant(g1)
+
+    evals = [None, None]
+    evals[index_sibling % 2] = sibling_eval
+    evals[(index_sibling + 1) % 2] = folded_eval
+
+    inv_hint = manager.assign_hint_input_f(inv_val)
+    manager.add_hint_verify(((xs_1 - xs_0) * inv_hint).equal_verify_for_f(F(1)))
+
+    return evals[0] + (beta - xs_0) * (evals[1] - evals[0]) * inv_hint
+
+
+def bf_verify_challenges(
+    config: FriConfig,
+    proof: FriProof,
+    challenges: FriChallenges,
+    open_input,
+) -> ManagerAssign:
+    """open_input(qti, query_index, input_proof, manager) ->
+    list[(log_height, reduced-opening Expr)] descending. Builds one manager
+    per FRI query (reference fri/src/script_verifier.rs:85-140)."""
+    log_max_height = len(proof.commit_phase_commits) + config.log_blowup
+    manager_assign = ManagerAssign()
+    for (qti, query_index), query_proof in zip(
+        challenges.query_indices, proof.query_proofs
+    ):
+        manager = manager_assign.next_manager(
+            f"fri-pcs-verify query_index:{query_index}"
+        )
+        ro = open_input(qti, query_index, query_proof.input_proof, manager)
+        folded_eval = _bf_verify_query(
+            config,
+            proof,
+            query_index,
+            qti,
+            query_proof,
+            challenges.betas,
+            ro,
+            log_max_height,
+            manager,
+        )
+        final_poly_input = manager.assign_input_f(proof.final_poly)
+        manager.set_exec_dsl(folded_eval.equal(final_poly_input))
+    return manager_assign
+
+
+def _bf_verify_query(
+    config: FriConfig,
+    proof: FriProof,
+    query_index: int,
+    qti: int,
+    query_proof,
+    betas: list[EF4],
+    reduced_openings,
+    log_max_height: int,
+    manager: InputManager,
+) -> Expr:
+    ro_iter = iter(reduced_openings)
+    ro_next = next(ro_iter, None)
+    folded_eval = Expr.constant(EF4.zero())
+
+    # x = g_{log_max}^{reverse_bits(index)} computed IN SCRIPT from the index
+    x = Expr.constant_num(query_index).index_to_rou(log_max_height)
+    from ..utils import reverse_bits_len
+
+    x_hint = F.two_adic_generator(log_max_height).exp(
+        reverse_bits_len(query_index, log_max_height)
+    )
+
+    for log_folded_height, commit, step, beta in zip(
+        range(log_max_height - 1, -1, -1),
+        proof.commit_phase_commits,
+        query_proof.commit_phase_openings,
+        betas,
+    ):
+        point_index = query_index & 1
+        index_sibling = point_index ^ 1
+
+        if ro_next is not None and ro_next[0] == log_folded_height + 1:
+            folded_eval = folded_eval + ro_next[1]
+            ro_next = next(ro_iter, None)
+
+        opened_values, commited_proof = step
+        assert len(opened_values) == 1
+        if not config.mmcs.verify_batch(qti, opened_values, commited_proof, commit):
+            raise FriError("CommitPhaseMmcsError")
+
+        folded_eval = fold_row_with_expr(
+            folded_eval,
+            manager.assign_input_f(opened_values[0][index_sibling]),
+            x,
+            x_hint,
+            point_index,
+            index_sibling,
+            manager.assign_input_f(beta),
+            manager,
+        )
+
+        query_index >>= 1
+        if log_folded_height != 1:
+            x = x.square()
+            x_hint = x_hint * x_hint
+
+    assert query_index < config.blowup()
+    return folded_eval

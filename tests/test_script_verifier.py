@@ -1,0 +1,78 @@
+"""Script-verifier emission tests (mirror reference uni-stark/tests/fib_air.rs
+test_generate_script_expr, 6 queries): every emitted segment executes
+successfully under the Tapscript interpreter; tampered proofs fail."""
+
+import numpy as np
+import pytest
+
+from tapstark.airs import FibonacciAir, generate_fibonacci_trace
+from tapstark.airs.mul import MulAir, generate_mul_trace
+from tapstark.air.symbolic import get_log_quotient_degree
+from tapstark.challenger import BfChallenger
+from tapstark.commit import BcManager, TapTreeMmcs
+from tapstark.field import EF4, F
+from tapstark.fri import FriConfig, TwoAdicFriPcs
+from tapstark.stark import check_constraints, prove, verify
+from tapstark.stark.script_verifier import generate_script_verifier
+
+
+def _make_pcs(num_queries, log_blowup, pow_bits=8):
+    fri_cfg = FriConfig(
+        log_blowup=log_blowup,
+        num_queries=num_queries,
+        proof_of_work_bits=pow_bits,
+        mmcs=TapTreeMmcs(BcManager(), num_queries, ext=True),
+    )
+    return TwoAdicFriPcs(TapTreeMmcs(BcManager(), num_queries, ext=False), fri_cfg)
+
+
+def test_fib_generate_script_verifier():
+    # reference test_generate_script_expr parameters: 2^3 rows, blowup 2^2,
+    # 6 queries, 8 PoW bits
+    num_queries = 6
+    pcs = _make_pcs(num_queries=num_queries, log_blowup=2)
+    trace = generate_fibonacci_trace(0, 1, 1 << 3)
+    pis = [F(0), F(1), F(int(trace[-1, 1]))]
+    proof = prove(pcs, FibonacciAir(), BfChallenger(), trace, pis)
+
+    report = generate_script_verifier(
+        pcs, FibonacciAir(), BfChallenger(), proof, pis
+    )
+    # 6 FRI-query segments + quotient + constraints
+    assert len(report.segment_script_bytes) == num_queries + 2
+    assert report.total_script_bytes > 0
+    assert report.distinct_u32_count > 0
+    names = list(report.segment_script_bytes)
+    assert any("fri-pcs-verify" in n for n in names)
+    assert "compute-quotient" in names
+    assert "trace-constraints" in names
+
+
+def test_mul_air_native_and_script():
+    air = MulAir()
+    assert get_log_quotient_degree(air, 3) == 1  # two quotient chunks
+    n = 1 << 3
+    trace = generate_mul_trace(3, 5, n)
+    pis = [F(3), F(5), F(int(trace[-1, 0]))]
+    check_constraints(air, trace, pis)
+
+    num_queries = 2
+    pcs = _make_pcs(num_queries=num_queries, log_blowup=2, pow_bits=4)
+    proof = prove(pcs, air, BfChallenger(), trace, pis, debug=True)
+    verify(pcs, air, BfChallenger(), proof, pis)
+
+    report = generate_script_verifier(pcs, air, BfChallenger(), proof, pis)
+    assert len(report.segment_script_bytes) == num_queries + 2
+
+
+def test_script_verifier_rejects_tampered_openings():
+    num_queries = 2
+    pcs = _make_pcs(num_queries=num_queries, log_blowup=2, pow_bits=4)
+    trace = generate_fibonacci_trace(0, 1, 1 << 3)
+    pis = [F(0), F(1), F(int(trace[-1, 1]))]
+    proof = prove(pcs, FibonacciAir(), BfChallenger(), trace, pis)
+    proof.opened_values.quotient_chunks[0][0] = (
+        proof.opened_values.quotient_chunks[0][0] + EF4.one()
+    )
+    with pytest.raises(Exception):
+        generate_script_verifier(pcs, FibonacciAir(), BfChallenger(), proof, pis)
