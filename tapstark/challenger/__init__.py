@@ -58,6 +58,9 @@ class BfChallenger:
         self.sample_output: list[object] = []
         self.grind_bits: int | None = None
         self.grind_output: object = None
+        # Operation log for the challenger-consistency script replay
+        # (the DSL layer's equivalent of the reference's BfChallengerExpr).
+        self.op_log: list[tuple] = []
 
     # -- core sponge -------------------------------------------------------
     def _duplexing(self) -> None:
@@ -71,6 +74,7 @@ class BfChallenger:
         self.output_buffer = list(self.sponge_state[RATE:])
 
     def observe(self, word: int) -> None:
+        self.op_log.append(("observe", int(word) & 0xFFFFFFFF))
         self.output_buffer.clear()
         self.input_buffer.append(int(word) & 0xFFFFFFFF)
         if len(self.input_buffer) == RATE:
@@ -106,13 +110,16 @@ class BfChallenger:
             res = EF4(coeffs)
         self.sample_input.append(words)
         self.sample_output.append(res)
+        self.op_log.append(("sample", self.field, words, res))
         return res
 
     def sample_bits(self, bits: int) -> int:
         assert bits < 64
         rand_f = self.sample()
         rand_usize = rand_f.as_canonical_u32() if isinstance(rand_f, F) else rand_f.as_usize()
-        return rand_usize >> (32 - bits)
+        result = rand_usize >> (32 - bits)
+        self.op_log.append(("sample_bits", bits, result))
+        return result
 
     # -- proof of work -----------------------------------------------------
     def check_witness(self, bits: int, witness: int) -> bool:

@@ -276,3 +276,24 @@ def u31_to_u31ext() -> ScriptBuilder:
     # stack [a 0 0 0] -> rearrange to [0 0 0 a]
     sb.num(3).emit(op.OP_ROLL)
     return sb
+
+
+def u31_shr_const(k: int, width: int = 31) -> ScriptBuilder:
+    """[n] -> [n >> k] for a script number 0 <= n < 2^width (bitwise
+    threshold extraction; used by the challenger's sample_bits which shifts
+    the mod-p REDUCED sample value)."""
+    assert 0 <= k <= width
+    sb = _sb()
+    sb.num(0)  # [rem, acc]
+    for j in range(width - 1, k - 1, -1):
+        sb.emit(op.OP_SWAP)  # [acc, rem]
+        sb.emit(op.OP_DUP).num(1 << j).emit(op.OP_GREATERTHANOREQUAL)
+        sb.emit(op.OP_IF)
+        sb.num(1 << j).emit(op.OP_SUB)
+        sb.emit(op.OP_SWAP)
+        sb.num(1 << (j - k)).emit(op.OP_ADD)
+        sb.emit(op.OP_SWAP)
+        sb.emit(op.OP_ENDIF)
+        sb.emit(op.OP_SWAP)  # [rem, acc]
+    sb.emit(op.OP_NIP)  # drop the remainder
+    return sb

@@ -243,4 +243,17 @@ def generate_script_verifier(
             limbs = [v] if isinstance(v, int) else v.as_u32_vec()
             u32_values.update(limbs)
     report.distinct_u32_count = len(u32_values)
+
+    # challenger-consistency script: replay the whole Fiat-Shamir transcript
+    # in-script (blake3 permutations chained on the stack) and check every
+    # sampled challenge against its claimed value
+    from ..dsl.challenger_expr import build_challenger_script
+    from ..script.interpreter import execute_script
+
+    challenger_script = build_challenger_script(challenger.op_log)
+    if run_scripts:
+        res = execute_script(challenger_script)
+        assert res.success, f"challenger script failed: {res.error}"
+    report.segment_script_bytes["challenger"] = len(challenger_script)
+    report.total_script_bytes += len(challenger_script)
     return report

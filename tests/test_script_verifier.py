@@ -39,7 +39,7 @@ def test_fib_generate_script_verifier():
         pcs, FibonacciAir(), BfChallenger(), proof, pis
     )
     # 6 FRI-query segments + quotient + constraints
-    assert len(report.segment_script_bytes) == num_queries + 2
+    assert len(report.segment_script_bytes) == num_queries + 3
     assert report.total_script_bytes > 0
     assert report.distinct_u32_count > 0
     names = list(report.segment_script_bytes)
@@ -62,7 +62,7 @@ def test_mul_air_native_and_script():
     verify(pcs, air, BfChallenger(), proof, pis)
 
     report = generate_script_verifier(pcs, air, BfChallenger(), proof, pis)
-    assert len(report.segment_script_bytes) == num_queries + 2
+    assert len(report.segment_script_bytes) == num_queries + 3
 
 
 def test_script_verifier_rejects_tampered_openings():
