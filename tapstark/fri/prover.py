@@ -42,9 +42,13 @@ def bf_prove(
     ), "inputs must be sorted by descending length"
     log_max_height = log2_strict(int(inputs[0].shape[0]))
 
-    commits, data, final_poly = _commit_phase(config, inputs, challenger)
+    from ..utils.profiling import span
 
-    pow_witness = challenger.grind(config.proof_of_work_bits)
+    with span("fri/commit-phase"):
+        commits, data, final_poly = _commit_phase(config, inputs, challenger)
+
+    with span("fri/grind"):
+        pow_witness = challenger.grind(config.proof_of_work_bits)
 
     query_proofs = []
     for query_times_index in range(config.num_queries):

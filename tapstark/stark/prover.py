@@ -18,6 +18,7 @@ from ..field.device import ef_mul_base, to_mont
 from ..field.scalar import EF4, F
 from ..fri.pcs import TwoAdicFriPcs
 from ..utils import log2_strict
+from ..utils.profiling import span
 from .check import check_constraints
 from .proof import Commitments, OpenedValues, Proof
 
@@ -42,7 +43,8 @@ def prove(
     trace_domain = pcs.natural_domain_for_degree(degree)
     trace_dev = to_mont(trace)
 
-    trace_commit, trace_data = pcs.commit([(trace_domain, trace_dev)])
+    with span("prove/commit-trace"):
+        trace_commit, trace_data = pcs.commit([(trace_domain, trace_dev)])
     challenger.observe_commitment(trace_commit)
     alpha: EF4 = challenger.sample()
 
@@ -53,33 +55,38 @@ def prove(
         trace_data, 0, quotient_domain
     )
 
-    quotient_vals = quotient_values(
-        air,
-        public_values,
-        trace_domain,
-        quotient_domain,
-        trace_on_quotient_domain,
-        alpha,
-    )  # (m, 4) ext Montgomery
+    with span("prove/quotient-values"):
+        quotient_vals = quotient_values(
+            air,
+            public_values,
+            trace_domain,
+            quotient_domain,
+            trace_on_quotient_domain,
+            alpha,
+        )  # (m, 4) ext Montgomery
 
     # flatten_to_base: each extension value becomes a width-4 base row
     quotient_flat = quotient_vals
     quotient_chunks = quotient_domain.split_evals(quotient_degree, quotient_flat)
     qc_domains = quotient_domain.split_domains(quotient_degree)
 
-    quotient_commit, quotient_data = pcs.commit(list(zip(qc_domains, quotient_chunks)))
+    with span("prove/commit-quotient"):
+        quotient_commit, quotient_data = pcs.commit(
+            list(zip(qc_domains, quotient_chunks))
+        )
     challenger.observe_commitment(quotient_commit)
 
     zeta: EF4 = challenger.sample()
     zeta_next = trace_domain.next_point(zeta)
 
-    opened_values, opening_proof = pcs.open(
-        [
-            (trace_data, [[zeta, zeta_next]]),
-            (quotient_data, [[zeta] for _ in range(quotient_degree)]),
-        ],
-        challenger,
-    )
+    with span("prove/open"):
+        opened_values, opening_proof = pcs.open(
+            [
+                (trace_data, [[zeta, zeta_next]]),
+                (quotient_data, [[zeta] for _ in range(quotient_degree)]),
+            ],
+            challenger,
+        )
     trace_local = opened_values[0][0][0]
     trace_next = opened_values[0][0][1]
     quotient_opened = [opened_values[1][i][0] for i in range(quotient_degree)]
