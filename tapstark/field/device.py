@@ -25,10 +25,11 @@ import numpy as np
 from .constants import EXT_W, MU, P, R2_MOD_P, R_MOD_P
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
-_P = jnp.uint32(P)
-_MU = jnp.uint32(MU)
-_P_HI16 = jnp.uint32(P >> 16)  # 0x7800 (P = 0x7800_0001: lo16 = 1)
+# plain ints (weakly typed) so kernels don't capture device-array constants
+_MASK16 = 0xFFFF
+_P = P
+_MU = MU
+_P_HI16 = P >> 16  # 0x7800 (P = 0x7800_0001: lo16 = 1)
 
 # Montgomery-form constants.
 MONT_ONE = R_MOD_P

@@ -1,0 +1,149 @@
+"""Pallas TPU kernel for the NTT butterfly passes.
+
+The jnp NTT (poly.ntt) materializes every butterfly stage through HBM
+(log N full-array passes). This kernel runs ALL stages of a size-R transform
+inside VMEM: the four-step decomposition N = R*C maps both member transforms
+to batched column NTTs whose butterflies move along the SUBLANE axis while
+the lane axis (the batch: other digit x width) stays fully parallel — the
+layout the VPU wants. Montgomery uint32 arithmetic (16-bit limb REDC) runs
+as int ops in-register.
+
+    full NTT = bitrev_R -> [pallas: log R fused stages]
+               -> outer twiddle -> transpose
+               -> bitrev_C -> [pallas: log C fused stages]
+
+(one HBM round trip per step instead of log N).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field.constants import P, R_MOD_P
+from ..field.device import fp_add, fp_mul, fp_sub, np_to_mont
+from ..utils import bitrev_indices, log2_strict
+from .ntt import _n_inv_mont, _shift_powers, _stage_twiddles
+
+_LANE = 128
+
+
+def _packed_twiddles(log_r: int, inverse: bool) -> np.ndarray:
+    """(log_r, R/2) uint32: stage s-1 row holds its 2^(s-1) twiddles (padded)."""
+    tws = _stage_twiddles(log_r, inverse)
+    half = max(1 << (log_r - 1), 1)
+    out = np.zeros((max(log_r, 1), half), dtype=np.uint32)
+    for s in range(1, log_r + 1):
+        out[s - 1, : 1 << (s - 1)] = tws[s - 1]
+    return out
+
+
+def _butterfly_kernel(log_r: int):
+    r = 1 << log_r
+
+    def kernel(x_ref, tw_ref, o_ref):
+        x = x_ref[:]  # (R, LANE)
+        for s in range(1, log_r + 1):
+            m = 1 << s
+            half = m >> 1
+            tw = tw_ref[s - 1, :half]  # (half,)
+            blk = x.reshape(r // m, m, _LANE)
+            lo = blk[:, :half, :]
+            hi = blk[:, half:, :]
+            t = fp_mul(hi, tw[None, :, None])
+            x = jnp.concatenate([fp_add(lo, t), fp_sub(lo, t)], axis=1).reshape(
+                r, _LANE
+            )
+        o_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("log_r", "inverse"))
+def _ntt_cols_pallas(mat, log_r: int, inverse: bool):
+    """Column NTTs of a (R, B) Montgomery matrix, ALL stages in one kernel.
+
+    Input rows must already be bit-reversed; output is natural order."""
+    r, b = mat.shape
+    assert r == 1 << log_r
+    pad = (-b) % _LANE
+    if pad:
+        mat = jnp.pad(mat, ((0, 0), (0, pad)))
+    bp = mat.shape[1]
+    tw = jnp.asarray(_packed_twiddles(log_r, inverse))
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _butterfly_kernel(log_r),
+        interpret=interpret,
+        grid=(bp // _LANE,),
+        in_specs=[
+            pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, bp), jnp.uint32),
+    )(mat, tw)
+    return out[:, :b] if pad else out
+
+
+@functools.lru_cache(maxsize=None)
+def _outer_twiddle_mont(log_r: int, log_c: int, inverse: bool) -> np.ndarray:
+    """(R, C) matrix w_N^{k1*i2} in Montgomery form."""
+    from ..field.constants import two_adic_generator
+    from .powers import np_geom_powers
+
+    w = two_adic_generator(log_r + log_c)
+    if inverse:
+        w = pow(w, P - 2, P)
+    rows = [np_geom_powers(pow(w, k1, P), 1 << log_c) for k1 in range(1 << log_r)]
+    return np_to_mont(np.stack(rows))
+
+
+def ntt_pallas(x, inverse: bool = False):
+    """NTT/iNTT of an (n, w) Montgomery matrix, natural -> natural order."""
+    n, w = x.shape
+    log_n = log2_strict(n)
+    if log_n <= 1:
+        from .ntt import intt, ntt
+
+        return intt(x) if inverse else ntt(x)
+    log_c = log_n // 2
+    log_r = log_n - log_c
+    r, c = 1 << log_r, 1 << log_c
+
+    # step 1: inner NTT over i1 (size R), batched over (i2, w)
+    m = x.reshape(r, c * w)
+    m = jnp.take(m, jnp.asarray(bitrev_indices(log_r).astype(np.int32)), axis=0)
+    a = _ntt_cols_pallas(m, log_r, inverse)  # A[k1, (i2, w)]
+
+    # step 2: outer twiddle w_N^{k1*i2}
+    tw = jnp.asarray(_outer_twiddle_mont(log_r, log_c, inverse))
+    a = a.reshape(r, c, w)
+    a = fp_mul(a, tw[:, :, None])
+
+    # step 3: transpose to (C, R, w), batch = (k1, w)
+    b = jnp.swapaxes(a, 0, 1).reshape(c, r * w)
+    b = jnp.take(b, jnp.asarray(bitrev_indices(log_c).astype(np.int32)), axis=0)
+    y = _ntt_cols_pallas(b, log_c, inverse)  # Y[k2, (k1, w)]
+
+    out = y.reshape(n, w)  # flat index k2*R + k1 == k  (natural order)
+    if inverse:
+        # member kernels apply no normalization; scale once by 1/N
+        out = fp_mul(out, jnp.uint32(_n_inv_mont(log_n)))
+    return out
+
+
+def coset_lde_batch_pallas(evals, log_blowup: int, shift: int):
+    """Pallas-backed coset LDE (p3-dft coset_lde_batch semantics)."""
+    n, w = evals.shape
+    log_n = log2_strict(n)
+    coeffs = ntt_pallas(evals, inverse=True)
+    sp = jnp.asarray(_shift_powers(log_n, shift % P))
+    coeffs = fp_mul(coeffs, sp[:, None])
+    padded = jnp.zeros((n << log_blowup, w), jnp.uint32).at[:n, :].set(coeffs)
+    return ntt_pallas(padded)

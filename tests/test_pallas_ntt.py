@@ -1,0 +1,35 @@
+"""Pallas four-step NTT vs the jnp reference kernels (interpret mode on CPU,
+compiled on TPU)."""
+
+import numpy as np
+
+from tapstark.field import F, P
+from tapstark.field.device import np_from_mont, to_mont
+from tapstark.poly.ntt import coset_lde_batch, intt, ntt
+from tapstark.poly.pallas_ntt import coset_lde_batch_pallas, ntt_pallas
+
+
+def test_pallas_ntt_matches_jnp():
+    rng = np.random.default_rng(0)
+    for log_n in (2, 5, 8, 11):
+        n = 1 << log_n
+        x = to_mont(rng.integers(0, P, (n, 3)).astype(np.uint32))
+        np.testing.assert_array_equal(
+            np_from_mont(np.asarray(ntt_pallas(x))),
+            np_from_mont(np.asarray(ntt(x))),
+            err_msg=f"fwd log_n={log_n}",
+        )
+        np.testing.assert_array_equal(
+            np_from_mont(np.asarray(ntt_pallas(x, inverse=True))),
+            np_from_mont(np.asarray(intt(x))),
+            err_msg=f"inv log_n={log_n}",
+        )
+
+
+def test_pallas_coset_lde_matches_jnp():
+    rng = np.random.default_rng(1)
+    x = to_mont(rng.integers(0, P, (256, 2)).astype(np.uint32))
+    np.testing.assert_array_equal(
+        np_from_mont(np.asarray(coset_lde_batch_pallas(x, 2, F.generator().v))),
+        np_from_mont(np.asarray(coset_lde_batch(x, 2, F.generator().v))),
+    )
