@@ -14,9 +14,13 @@ Behavioral port of /root/reference/basic/src/tcs/mod.rs:
 - verify = taptree inclusion + executing the leaf script with the
   signature witness (mod.rs:140-144, 423-434).
 
+The bulk work (leaf-script assembly, tapleaf hashing, ordered tree build)
+runs in the native C++ engine (tapstark.native) when available — the role
+the reference fills with native Rust — with a pure-Python fallback. Leaf
+scripts are reconstructed lazily for openings.
+
 Matrices are numpy arrays of CANONICAL u32 limbs: base field (h, w),
-extension field (h, w, 4). Device (Montgomery) arrays are converted at this
-boundary.
+extension field (h, w, 4).
 """
 
 from __future__ import annotations
@@ -25,8 +29,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..hashes.sha256 import sha256
 from ..script import opcodes as op
-from ..script.builder import ScriptBuilder, push_int
+from ..script.builder import push_int
 from ..utils import log2_ceil
 from .bitcomm import (
     COMMIT_TYPE_U128,
@@ -75,15 +80,87 @@ class CommitedProof:
     query_index: int
 
 
+def padding_matrix_np(matrices: list[FMatrix]) -> np.ndarray:
+    """(num_leaves, num_values, num_limbs) canonical u32 interleaved leaves
+    (vectorized reference padding_matrix, mod.rs:339-378)."""
+    largest_first = sorted(matrices, key=lambda m: -m.height)
+    max_height = largest_first[0].height
+    num_limbs = 4 if largest_first[0].ext else 1
+    cols = []
+    for m in largest_first:
+        v = m.values
+        if not m.ext:
+            v = v[:, :, None]
+        rep = max_height // m.height
+        cols.append(np.repeat(v, rep, axis=0))
+    return np.concatenate(cols, axis=1).astype(np.uint32)
+
+
+def padding_matrix(matrices: list[FMatrix]) -> list[list[list[int]]]:
+    """Reference-shaped view: leaf -> value -> limbs (tests/compat)."""
+    arr = padding_matrix_np(matrices)
+    return [
+        [[int(x) for x in arr[i, j]] for j in range(arr.shape[1])]
+        for i in range(arr.shape[0])
+    ]
+
+
+def _leaf_script_from_row(
+    index_lock: bytes, eval_locks: list[bytes], index: int, row: np.ndarray
+) -> bytes:
+    """Assemble one leaf script (row: (num_values, num_limbs) canonical u32)."""
+    parts = [index_lock, push_int(index), bytes([op.OP_EQUALVERIFY])]
+    for lock, limbs in zip(eval_locks, row):
+        parts.append(lock)
+        for v in limbs[::-1]:
+            parts.append(push_int(int(v)))
+            parts.append(bytes([op.OP_EQUALVERIFY]))
+    parts.append(bytes([op.OP_1]))
+    return b"".join(parts)
+
+
+class NativeTaptree:
+    """Taptree built by the native engine; leaf scripts rebuilt on demand."""
+
+    def __init__(self, leaf_hashes, root, branches, perm, script_fn):
+        self._leaf_hashes = leaf_hashes
+        self.root_hash = root
+        self._branches = branches
+        self.leaf_indices = [int(x) for x in perm]
+        self._script_fn = script_fn
+
+    def root_words(self) -> list[int]:
+        return [
+            int.from_bytes(self.root_hash[4 * i : 4 * i + 4], "little")
+            for i in range(8)
+        ]
+
+    def leaf_count(self) -> int:
+        return len(self.leaf_indices)
+
+    def get_tapleaf(self, logical_index: int) -> LeafNode:
+        return LeafNode(
+            script=self._script_fn(logical_index),
+            leaf_hash=bytes(self._leaf_hashes[logical_index]),
+            merkle_branch=[
+                bytes(self._branches[logical_index, l])
+                for l in range(self._branches.shape[1])
+            ],
+        )
+
+
 @dataclass
 class CommitedData:
     leaves: list[FMatrix]
-    commit_taptree: CompleteTaptree
+    commit_taptree: object  # CompleteTaptree | NativeTaptree
     use_bcs: UseBComm
-    leaf_values: list[list[list[int]]]  # leaf -> value -> limbs
+    values_np: np.ndarray  # (num_leaves, num_values, num_limbs)
 
     def get_max_height(self) -> int:
         return max(m.height for m in self.leaves)
+
+    def leaf_limbs(self, i: int) -> list[list[int]]:
+        return [[int(x) for x in v] for v in self.values_np[i]]
 
     def query_proof(self, query_index: int) -> CommitedProof:
         return CommitedProof(
@@ -91,43 +168,6 @@ class CommitedData:
             use_bcs=self.use_bcs,
             query_index=query_index,
         )
-
-
-def padding_matrix(matrices: list[FMatrix]) -> list[list[list[int]]]:
-    """Per-leaf interleaved values (leaf -> value -> limbs), reference
-    semantics (mod.rs:339-378)."""
-    largest_first = sorted(matrices, key=lambda m: -m.height)
-    max_height = largest_first[0].height
-    log_max = log2_ceil(max_height) if max_height > 1 else 0
-    leaf_ys: list[list[list[int]]] = [[] for _ in range(max_height)]
-    for m in largest_first:
-        log_h = log2_ceil(m.height) if m.height > 1 else 0
-        rep = log_max - log_h
-        for index in range(m.height):
-            row = m.row_limbs(index)
-            lo = index << rep
-            hi = (index + 1) << rep
-            for limbs in row:
-                for leaf_index in range(lo, hi):
-                    leaf_ys[leaf_index].append(limbs)
-    first_width = len(leaf_ys[0])
-    assert all(len(ys) == first_width for ys in leaf_ys)
-    return leaf_ys
-
-
-def _leaf_script(
-    index_lock: bytes, eval_locks: list[bytes], index: int, values: list[list[int]]
-) -> bytes:
-    """Assemble one leaf script from precomputed locking-script bytes
-    (pubkeys are shared across leaves; only the embedded constants differ)."""
-    parts = [index_lock, push_int(index), bytes([op.OP_EQUALVERIFY])]
-    for lock, limbs in zip(eval_locks, values):
-        parts.append(lock)
-        for v in reversed(limbs):
-            parts.append(push_int(v))
-            parts.append(bytes([op.OP_EQUALVERIFY]))
-    parts.append(bytes([op.OP_1]))
-    return b"".join(parts)
 
 
 def _leaf_witness(use_bcs: UseBComm, index: int, values: list[list[int]]) -> list[bytes]:
@@ -149,22 +189,35 @@ class TCS:
     def commit_polys(self, matrices: list[FMatrix]) -> CommitedData:
         ext = matrices[0].ext
         commit_type = COMMIT_TYPE_U128 if ext else COMMIT_TYPE_U32
-        leaf_ys = padding_matrix(matrices)
-        first_width = len(leaf_ys[0])
+        values_np = padding_matrix_np(matrices)
+        num_leaves, num_values, _ = values_np.shape
 
         index_bc = self.manager.assign_bc(COMMIT_TYPE_U32)
-        evaluations_bc = [self.manager.assign_bc(commit_type) for _ in range(first_width)]
+        evaluations_bc = [self.manager.assign_bc(commit_type) for _ in range(num_values)]
         use_bcs = UseBComm(index_bc=index_bc, evaluations_bc=evaluations_bc)
 
         index_lock = index_bc.locking_script().build()
         eval_locks = [bc.locking_script().build() for bc in evaluations_bc]
-        scripts = [
-            _leaf_script(index_lock, eval_locks, i, leaf_ys[i])
-            for i in range(len(leaf_ys))
-        ]
-        tree = build_taptree(scripts)
+
+        def script_fn(i: int) -> bytes:
+            return _leaf_script_from_row(index_lock, eval_locks, i, values_np[i])
+
+        from .. import native
+
+        if native.get_lib() is not None:
+            leaf_hashes, root, branches, perm = native.tcs_commit_native(
+                index_lock,
+                eval_locks,
+                values_np,
+                sha256(b"TapLeaf"),
+                sha256(b"TapBranch"),
+            )
+            tree = NativeTaptree(leaf_hashes, root, branches, perm, script_fn)
+        else:
+            scripts = [script_fn(i) for i in range(num_leaves)]
+            tree = build_taptree(scripts)
         return CommitedData(
-            leaves=matrices, commit_taptree=tree, use_bcs=use_bcs, leaf_values=leaf_ys
+            leaves=matrices, commit_taptree=tree, use_bcs=use_bcs, values_np=values_np
         )
 
     def commit_poly_with_query_times(
@@ -176,7 +229,7 @@ class TCS:
         self, query_times_index: int, query_index: int, prover_data: list[CommitedData]
     ) -> tuple[CommitedProof, list[list[int]]]:
         data = prover_data[query_times_index]
-        return data.query_proof(query_index), data.leaf_values[query_index]
+        return data.query_proof(query_index), data.leaf_limbs(query_index)
 
     @staticmethod
     def verify(root_hash: bytes, proof: CommitedProof, opening_limbs: list[list[int]]) -> bool:

@@ -36,7 +36,13 @@ class Winternitz:
 
     def __init__(self, secret_key: bytes):
         self.secret_key = secret_key
-        self.pub_key = [self._chain_end(i) for i in range(N)]
+        from .. import native
+
+        if native.get_lib() is not None:
+            pk = native.winternitz_pubkeys_batch([secret_key], N, DIGITS)
+            self.pub_key = [bytes(pk[0, i]) for i in range(N)]
+        else:
+            self.pub_key = [self._chain_end(i) for i in range(N)]
 
     def _chain_start(self, digit_index: int) -> bytes:
         return hash160(self.secret_key + bytes([digit_index]))

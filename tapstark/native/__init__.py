@@ -1,0 +1,143 @@
+"""Native commit engine loader.
+
+Compiles tapstark_native.cpp on first use (g++ -O2 -shared) and binds it via
+ctypes. Falls back to the pure-Python paths if the toolchain is unavailable
+or TAPSTARK_NATIVE=0.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "tapstark_native.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build_and_load():
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    build_dir = os.path.join(_HERE, "_build")
+    os.makedirs(build_dir, exist_ok=True)
+    so_path = os.path.join(build_dir, f"tapstark_native_{digest}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + ".tmp"
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, so_path)
+    lib = ctypes.CDLL(so_path)
+    lib.winternitz_pubkeys_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_size_t,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_void_p,
+    ]
+    lib.sha256_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_void_p,
+        ctypes.c_size_t,
+        ctypes.c_void_p,
+    ]
+    lib.tcs_commit.argtypes = [
+        ctypes.c_char_p,  # index_lock
+        ctypes.c_uint64,
+        ctypes.c_char_p,  # eval_locks
+        ctypes.c_void_p,  # eval_lock_offsets (u64*)
+        ctypes.c_uint32,  # num_values
+        ctypes.c_void_p,  # values (u32*)
+        ctypes.c_uint32,  # num_leaves
+        ctypes.c_uint32,  # num_limbs
+        ctypes.c_char_p,  # tapleaf_tag
+        ctypes.c_char_p,  # tapbranch_tag
+        ctypes.c_uint8,  # leaf_version
+        ctypes.c_void_p,  # leaf_hashes out
+        ctypes.c_void_p,  # root out
+        ctypes.c_void_p,  # branches out
+        ctypes.c_void_p,  # perm out
+    ]
+    return lib
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable/disabled."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("TAPSTARK_NATIVE", "1") == "0":
+        return None
+    try:
+        _lib = _build_and_load()
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def winternitz_pubkeys_batch(
+    secrets: list[bytes], num_digits: int, chain_extra: int
+) -> np.ndarray:
+    """(n, num_digits, 20) uint8 pubkeys via native hash160 chains."""
+    lib = get_lib()
+    assert lib is not None
+    slen = len(secrets[0])
+    assert all(len(s) == slen for s in secrets)
+    blob = b"".join(secrets)
+    out = np.empty((len(secrets), num_digits, 20), dtype=np.uint8)
+    lib.winternitz_pubkeys_batch(
+        blob, len(secrets), slen, num_digits, chain_extra, out.ctypes.data
+    )
+    return out
+
+
+def tcs_commit_native(
+    index_lock: bytes,
+    eval_locks: list[bytes],
+    values: np.ndarray,  # (num_leaves, num_values, num_limbs) uint32
+    tapleaf_tag_digest: bytes,
+    tapbranch_tag_digest: bytes,
+    leaf_version: int = 0xC0,
+):
+    """Returns (leaf_hashes (n,32) u8, root bytes, branches (n,depth,32) u8,
+    perm (n,) u32)."""
+    lib = get_lib()
+    assert lib is not None
+    num_leaves, num_values, num_limbs = values.shape
+    depth = max((num_leaves - 1).bit_length(), 0)
+    locks_blob = b"".join(eval_locks)
+    offsets = np.zeros(num_values + 1, dtype=np.uint64)
+    np.cumsum([len(b) for b in eval_locks], out=offsets[1:])
+    vals = np.ascontiguousarray(values, dtype=np.uint32)
+    leaf_hashes = np.empty((num_leaves, 32), dtype=np.uint8)
+    root = np.empty(32, dtype=np.uint8)
+    branches = np.empty((num_leaves, depth, 32), dtype=np.uint8)
+    perm = np.empty(num_leaves, dtype=np.uint32)
+    lib.tcs_commit(
+        index_lock,
+        len(index_lock),
+        locks_blob,
+        offsets.ctypes.data,
+        num_values,
+        vals.ctypes.data,
+        num_leaves,
+        num_limbs,
+        tapleaf_tag_digest,
+        tapbranch_tag_digest,
+        leaf_version,
+        leaf_hashes.ctypes.data,
+        root.ctypes.data,
+        branches.ctypes.data,
+        perm.ctypes.data,
+    )
+    return leaf_hashes, bytes(root), branches, perm

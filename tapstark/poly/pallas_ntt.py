@@ -59,7 +59,10 @@ def _butterfly_kernel(log_r: int):
             x = jnp.concatenate([fp_add(lo, t), fp_sub(lo, t)], axis=1).reshape(
                 r, _LANE
             )
-        o_ref[:] = x
+            # stage through the output ref so Mosaic reuses one buffer
+            # instead of keeping all log R stage temporaries live
+            o_ref[:] = x
+            x = o_ref[:]
 
     return kernel
 
@@ -87,6 +90,9 @@ def _ntt_cols_pallas(mat, log_r: int, inverse: bool):
         ],
         out_specs=pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, bp), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(mat, tw)
     return out[:, :b] if pad else out
 
