@@ -19,3 +19,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the prover compiles one kernel per phase per
+# shape; caching across test processes cuts suite time drastically.
+import os as _os
+
+_cache_dir = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+except Exception:
+    pass
