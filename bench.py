@@ -77,13 +77,15 @@ def main() -> None:
     trace = jnp.asarray(np_to_mont(rng.integers(0, P, (n, width)).astype(np.uint32)))
 
     lde_fn = jax.jit(lambda t: coset_lde_batch(t, log_blowup, shift))
-    jax.block_until_ready(lde_fn(trace))  # compile + warm
+    # warm + sync: on the axon remote backend block_until_ready does not
+    # guarantee completion; fetching a scalar of the result does.
+    _ = np.asarray(lde_fn(trace)[0, 0])
 
-    reps = 5
+    reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = lde_fn(trace)
-    jax.block_until_ready(out)
+        _ = np.asarray(out[0, 0])  # force real device sync (tiny transfer)
     dt = (time.perf_counter() - t0) / reps
 
     # butterflies: iNTT of size n plus forward NTT of size n<<blowup, x width

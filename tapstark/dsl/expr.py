@@ -438,7 +438,7 @@ def _emit_op(sb: ScriptBuilder, e: Expr, child_types: list[str]):
                     {
                         "add": g.u31ext_add,
                         "sub": g.u31ext_sub,
-                        "mul": g.u31ext_mul,
+                        "mul": g.u31ext_mul_karatsuba,
                     }[k]()
                 )
     elif k == "neg":
@@ -451,7 +451,7 @@ def _emit_op(sb: ScriptBuilder, e: Expr, child_types: list[str]):
         else:
             for _ in range(4):
                 sb.num(3).emit(op.OP_PICK)
-            sb.extend(g.u31ext_mul())
+            sb.extend(g.u31ext_mul_karatsuba())
     elif k == "exp_const":
         _emit_exp_const(sb, e.vtype, e.meta)
     elif k == "to_ext":
@@ -519,7 +519,7 @@ def _emit_exp_const(sb: ScriptBuilder, vtype: str, n: int):
         else:
             for _ in range(4):
                 sb.num(3).emit(op.OP_PICK)
-            sb.extend(g.u31ext_mul())
+            sb.extend(g.u31ext_mul_karatsuba())
         if b == "1":
             if limbs == 1:
                 sb.emit(op.OP_OVER)
@@ -527,7 +527,7 @@ def _emit_exp_const(sb: ScriptBuilder, vtype: str, n: int):
             else:
                 for _ in range(4):
                     sb.num(7).emit(op.OP_PICK)
-                sb.extend(g.u31ext_mul())
+                sb.extend(g.u31ext_mul_karatsuba())
     # drop the retained base x under acc
     if limbs == 1:
         sb.emit(op.OP_NIP)

@@ -297,3 +297,114 @@ def u31_shr_const(k: int, width: int = 31) -> ScriptBuilder:
         sb.emit(op.OP_SWAP)  # [rem, acc]
     sb.emit(op.OP_NIP)  # drop the remainder
     return sb
+
+
+class _LimbEnv:
+    """Single-limb stack environment for straight-line gadget emission."""
+
+    def __init__(self, sb: ScriptBuilder, order: list[str]):
+        self.sb = sb
+        self.order = order
+
+    def pick(self, name: str) -> None:
+        self.sb.num(len(self.order) - 1 - self.order.index(name)).emit(op.OP_PICK)
+        self.order.append("_t")
+
+    def op2(self, gadget: ScriptBuilder, result: str) -> None:
+        self.sb.extend(gadget)
+        self.order.pop()
+        self.order.pop()
+        self.order.append(result)
+
+    def to_alt(self) -> None:
+        self.sb.emit(op.OP_TOALTSTACK)
+        self.order.pop()
+
+
+@functools.lru_cache(maxsize=None)
+def _u31ext_mul_karatsuba_bytes() -> bytes:
+    """[a3..a0 b3..b0] -> [(a*b)3..0] with 9 base muls (two-level Karatsuba
+    over x^4 = W; the reference's external u31ext_mul is also Karatsuba)."""
+    sb = _sb()
+    env = _LimbEnv(sb, ["a3", "a2", "a1", "a0", "b3", "b2", "b1", "b0"])
+
+    def add_named(x, y, result):
+        env.pick(x)
+        env.pick(y)
+        env.op2(u31_add(), result)
+
+    def mul_named(x, y, result):
+        env.pick(x)
+        env.pick(y)
+        env.op2(u31_mul(), result)
+
+    def sub2(x, y, z, result):
+        # result = x - y - z
+        env.pick(x)
+        env.pick(y)
+        env.op2(u31_sub(), "_d")
+        env.pick(z)
+        env.op2(u31_sub(), result)
+
+    for x, y, r in (
+        ("a0", "a1", "s0"), ("a2", "a3", "s1"), ("b0", "b1", "s2"),
+        ("b2", "b3", "s3"), ("a0", "a2", "u0"), ("a1", "a3", "u1"),
+        ("b0", "b2", "v0"), ("b1", "b3", "v1"),
+    ):
+        add_named(x, y, r)
+    add_named("u0", "u1", "t0")
+    add_named("v0", "v1", "t1")
+
+    for x, y, r in (
+        ("a0", "b0", "m1"), ("a1", "b1", "m2"), ("s0", "s2", "m3"),
+        ("a2", "b2", "m4"), ("a3", "b3", "m5"), ("s1", "s3", "m6"),
+        ("u0", "v0", "m7"), ("u1", "v1", "m8"), ("t0", "t1", "m9"),
+    ):
+        mul_named(x, y, r)
+
+    sub2("m3", "m1", "m2", "p01")  # a0b1+a1b0
+    sub2("m6", "m4", "m5", "p21")  # a2b3+a3b2
+    sub2("m7", "m1", "m4", "p10")  # a0b2+a2b0
+    sub2("m8", "m2", "m5", "p12")  # a1b3+a3b1
+    sub2("m9", "m7", "m8", "_M1")  # middle coeff of (A0+A1)(B0+B1)
+    sub2("_M1", "p01", "p21", "p11")  # c3 = M1 - p01 - p21
+
+    # c0 = m1 + W*(m4 + p12)
+    add_named("m4", "p12", "_w0")
+    sb.extend(u31_mul_by_constant(EXT_W))
+    env.pick("m1")
+    env.op2(u31_add(), "c0")
+    env.to_alt()
+    # c1 = p01 + W*p21
+    env.pick("p21")
+    sb.extend(u31_mul_by_constant(EXT_W))
+    env.order[-1] = "_w1"
+    env.pick("p01")
+    env.op2(u31_add(), "c1")
+    env.to_alt()
+    # c2 = m2 + p10 + W*m5
+    env.pick("m5")
+    sb.extend(u31_mul_by_constant(EXT_W))
+    env.order[-1] = "_w2"
+    env.pick("m2")
+    env.op2(u31_add(), "_c2a")
+    env.pick("p10")
+    env.op2(u31_add(), "c2")
+    env.to_alt()
+    # c3 = p11
+    env.pick("p11")
+    env.to_alt()
+    # drop everything left on the main stack
+    remaining = len(env.order)
+    for _ in range(remaining // 2):
+        sb.emit(op.OP_2DROP)
+    if remaining % 2:
+        sb.emit(op.OP_DROP)
+    # altstack: c0, c1, c2, c3(top) -> main [c3 c2 c1 c0(top)]
+    for _ in range(4):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb.build()
+
+
+def u31ext_mul_karatsuba() -> ScriptBuilder:
+    return ScriptBuilder(_u31ext_mul_karatsuba_bytes())
