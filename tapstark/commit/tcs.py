@@ -186,18 +186,18 @@ class TCS:
     def __init__(self, manager: BcManager):
         self.manager = manager
 
-    def commit_polys(self, matrices: list[FMatrix]) -> CommitedData:
-        ext = matrices[0].ext
+    def _assign_locks(self, num_values: int, ext: bool):
+        """Deterministic (sequential) bit-commitment assignment + lock bytes."""
         commit_type = COMMIT_TYPE_U128 if ext else COMMIT_TYPE_U32
-        values_np = padding_matrix_np(matrices)
-        num_leaves, num_values, _ = values_np.shape
-
         index_bc = self.manager.assign_bc(COMMIT_TYPE_U32)
         evaluations_bc = [self.manager.assign_bc(commit_type) for _ in range(num_values)]
         use_bcs = UseBComm(index_bc=index_bc, evaluations_bc=evaluations_bc)
-
         index_lock = index_bc.locking_script().build()
         eval_locks = [bc.locking_script().build() for bc in evaluations_bc]
+        return use_bcs, index_lock, eval_locks
+
+    def _build(self, matrices, values_np, use_bcs, index_lock, eval_locks):
+        num_leaves = values_np.shape[0]
 
         def script_fn(i: int) -> bytes:
             return _leaf_script_from_row(index_lock, eval_locks, i, values_np[i])
@@ -220,10 +220,38 @@ class TCS:
             leaves=matrices, commit_taptree=tree, use_bcs=use_bcs, values_np=values_np
         )
 
+    def commit_polys(self, matrices: list[FMatrix]) -> CommitedData:
+        values_np = padding_matrix_np(matrices)
+        args = self._assign_locks(values_np.shape[1], matrices[0].ext)
+        return self._build(matrices, values_np, *args)
+
     def commit_poly_with_query_times(
         self, matrices: list[FMatrix], total_query_times: int
     ) -> list[CommitedData]:
-        return [self.commit_polys(matrices) for _ in range(total_query_times)]
+        """One tree per query repetition, fresh bit commitments each
+        (mod.rs:284-292). Assignment is sequential (deterministic secrets);
+        the native tree builds release the GIL and run on a thread pool."""
+        values_np = padding_matrix_np(matrices)
+        ext = matrices[0].ext
+        assignments = [
+            self._assign_locks(values_np.shape[1], ext)
+            for _ in range(total_query_times)
+        ]
+        from .. import native
+
+        if native.get_lib() is not None and total_query_times > 1:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                min(total_query_times, os.cpu_count() or 4)
+            ) as pool:
+                return list(
+                    pool.map(
+                        lambda a: self._build(matrices, values_np, *a), assignments
+                    )
+                )
+        return [self._build(matrices, values_np, *a) for a in assignments]
 
     def open_with_one_query(
         self, query_times_index: int, query_index: int, prover_data: list[CommitedData]
@@ -236,6 +264,10 @@ class TCS:
         witness = _leaf_witness(proof.use_bcs, proof.query_index, opening_limbs)
         if not verify_inclusion(root_hash, proof.leaf):
             return False
-        from ..script.interpreter import execute_script
+        from ..script.interpreter import MAX_STACK, execute_script
 
-        return execute_script(proof.leaf.script, witness).success
+        # Wide-trace leaves structurally exceed Bitcoin's 1000-element stack
+        # limit (the reference's wide-table README rows are estimates for the
+        # same reason); simulate with a relaxed limit in that regime.
+        limit = max(MAX_STACK, len(witness) + 64)
+        return execute_script(proof.leaf.script, witness, stack_limit=limit).success

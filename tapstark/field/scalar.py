@@ -49,19 +49,38 @@ class F:
         return F(v % P)
 
     # -- arithmetic --------------------------------------------------------
-    def __add__(self, o: "F") -> "F":
+    def __add__(self, o):
+        if isinstance(o, int):
+            o = F(o)
+        if isinstance(o, EF4):
+            return o.__radd__(self)
         return F(self.v + o.v)
 
-    def __sub__(self, o: "F") -> "F":
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, int):
+            o = F(o)
+        if isinstance(o, EF4):
+            return EF4.from_base(self) - o
         return F(self.v - o.v)
+
+    def __rsub__(self, o):
+        if isinstance(o, int):
+            o = F(o)
+        return o - self
 
     def __neg__(self) -> "F":
         return F(-self.v)
 
     def __mul__(self, o):
+        if isinstance(o, int):
+            o = F(o)
         if isinstance(o, EF4):
             return o.__rmul__(self)
         return F(self.v * o.v)
+
+    __rmul__ = __mul__
 
     def __truediv__(self, o: "F") -> "F":
         return self * o.inverse()
@@ -142,6 +161,8 @@ class EF4:
     def _coerce(self, o):
         if isinstance(o, EF4):
             return o
+        if isinstance(o, int):
+            o = F(o)
         if isinstance(o, F):
             return EF4((o.v, 0, 0, 0))
         return NotImplemented

@@ -48,6 +48,7 @@ class _Exec:
     pc: int = 0
     op_count: int = 0
     max_stack: int = 0
+    stack_limit: int = MAX_STACK
     # each entry: (branch_taken, in_else)
     cond: list[bool] = field(default_factory=list)
 
@@ -70,19 +71,28 @@ class _Exec:
 
     def _track(self) -> None:
         depth = len(self.stack) + len(self.alt)
-        if depth > MAX_STACK:
+        if depth > self.stack_limit:
             raise ScriptError("stack size limit exceeded")
         if depth > self.max_stack:
             self.max_stack = depth
 
 
-def execute_script(script: bytes, witness: list[bytes] | None = None) -> ExecutionResult:
+def execute_script(
+    script: bytes,
+    witness: list[bytes] | None = None,
+    stack_limit: int = MAX_STACK,
+) -> ExecutionResult:
     """Run a script with an optional witness (initial stack; last item on top).
 
     success == ran to completion AND the final stack is exactly one truthy
     element (Tapscript spend semantics, matching scriptexec's notion used by
-    the reference tests)."""
-    ex = _Exec(script=script, stack=list(witness or []))
+    the reference tests).
+
+    stack_limit defaults to the 1000-element consensus limit; callers
+    committing wide traces (whose leaf witnesses structurally exceed Bitcoin's
+    limit — also true of the reference's wide-table "estimate" rows) may
+    relax it for simulation."""
+    ex = _Exec(script=script, stack=list(witness or []), stack_limit=stack_limit)
     ex._track()
     try:
         _run(ex)
