@@ -27,8 +27,12 @@ import numpy as np
 
 
 def main() -> None:
-    if jax.default_backend() != "tpu":
+    if os.environ.get("TAPSTARK_BENCH_CPU") == "1" or jax.default_backend() != "tpu":
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     from jax.sharding import Mesh
 
     from tapstark.airs import FibonacciAir
@@ -36,7 +40,7 @@ def main() -> None:
     from tapstark.mesh.prover_step import make_sharded_prover_step
 
     devices = jax.devices()
-    log_n = 14 if jax.default_backend() == "tpu" else 12
+    log_n = 14 if jax.default_backend() == "tpu" else 10
     sizes = [d for d in (1, 2, 4, 8) if d <= len(devices)]
     base_time = None
     for nd in sizes:

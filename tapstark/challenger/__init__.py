@@ -33,6 +33,20 @@ WIDTH = 16
 RATE = WIDTH // 2
 
 
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def jnp_argwhere_first(ok):
+    """Index of the first True, or len(ok) when none (jit-friendly)."""
+    jnp = _jnp()
+    any_hit = jnp.any(ok)
+    first = jnp.argmax(ok)
+    return jnp.where(any_hit, first, ok.shape[0])
+
+
 class Blake3Permutation:
     def permute(self, words: list[int]) -> list[int]:
         data = b"".join(int(w).to_bytes(4, "little") for w in words)
@@ -128,29 +142,45 @@ class BfChallenger:
             self.observe(0)
         return self.sample_bits(bits) == 0
 
-    def _grind_batch_ok(self, ws: np.ndarray, bits: int) -> np.ndarray:
+    def _grind_batch_ok(self, ws, bits: int, xp=np):
         """Vectorized check over candidate witnesses (current sponge capacity)."""
         cap = self.sponge_state[RATE:]
         shape = ws.shape
-        blocks = [ws.astype(np.uint32)] + [np.zeros(shape, np.uint32)] * 7 + [
-            np.full(shape, w, np.uint32) for w in cap
-        ]
-        out = compress_batch(np, blocks)
-        first = out[7] % np.uint32(P)  # sample pops state[15] = hash word 7 first
-        return (first >> np.uint32(32 - bits)) == 0
+        blocks = [xp.asarray(ws, dtype=xp.uint32)]
+        blocks += [xp.zeros(shape, xp.uint32)] * 7
+        blocks += [xp.full(shape, w, xp.uint32) for w in cap]
+        out = compress_batch(xp, blocks)
+        first = out[7] % xp.uint32(P)  # sample pops state[15] = hash word 7 first
+        return (first >> xp.uint32(32 - bits)) == 0
 
-    def grind(self, bits: int, batch: int = 1 << 14) -> int:
+    def grind(self, bits: int, batch: int | None = None, use_device: bool | None = None) -> int:
         """Deterministic: returns the smallest valid witness and advances the
-        transcript exactly like check_witness on it."""
+        transcript exactly like check_witness on it. High-difficulty grinds
+        (>= 20 bits) run the blake3 batch as a jitted device kernel."""
         assert not self.input_buffer, "grind expects a drained input buffer"
+        if use_device is None:
+            use_device = bits >= 20
+        if batch is None:
+            batch = 1 << 22 if use_device else 1 << 14
+        check_fn = None
+        if use_device:
+            import jax
+
+            check_fn = jax.jit(
+                lambda ws: jnp_argwhere_first(self._grind_batch_ok(ws, bits, _jnp()))
+            )
         start = 0
         witness = None
         while start < 1 << 32:
             ws = np.arange(start, min(start + batch, 1 << 32), dtype=np.uint64).astype(
                 np.uint32
             )
-            ok = self._grind_batch_ok(ws, bits)
-            idx = np.flatnonzero(ok)
+            if check_fn is not None:
+                hit = int(check_fn(ws))
+                idx = np.array([hit]) if hit < ws.size else np.array([], dtype=int)
+                idx = idx[idx >= 0]
+            else:
+                idx = np.flatnonzero(self._grind_batch_ok(ws, bits))
             if idx.size:
                 witness = int(ws[idx[0]])
                 break
@@ -161,3 +191,11 @@ class BfChallenger:
         self.grind_bits = bits
         self.grind_output = self.sample_output[-1]
         return witness
+
+
+class TestPermutation:
+    """Deterministic fake permutation (state reversal) for fast protocol
+    tests — the reference's only fake backend (fri/tests/fri.rs:34-48)."""
+
+    def permute(self, words: list[int]) -> list[int]:
+        return list(reversed(words))

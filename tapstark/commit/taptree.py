@@ -109,3 +109,23 @@ def build_taptree(scripts: list[bytes]) -> CompleteTaptree:
     for pos, m_idx in enumerate(t_to_m):
         leaf_indices[m_idx] = pos
     return CompleteTaptree(working[0], leaf_indices)
+
+
+def combine_taptrees(a: CompleteTaptree, b: CompleteTaptree) -> CompleteTaptree:
+    """Combine two complete taptrees into one, preserving logical indexing
+    (a's leaves keep indices 0..len(a)-1, b's follow; reference
+    complete_taptree.rs:96-133 combine semantics)."""
+    import copy
+
+    ra = copy.deepcopy(a.root_node)
+    rb = copy.deepcopy(b.root_node)
+    parent, left_first = combine_with_order(ra, rb)
+    if left_first:
+        indices = list(a.leaf_indices) + [
+            p + a.leaf_count() for p in b.leaf_indices
+        ]
+    else:
+        indices = [p + b.leaf_count() for p in a.leaf_indices] + list(
+            b.leaf_indices
+        )
+    return CompleteTaptree(parent, indices)
