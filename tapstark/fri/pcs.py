@@ -76,6 +76,12 @@ def _reduce_rows_step(mat, alpha_pows, offset, reduced_ys, inv_denoms, ro):
     return ef_add(ro, term)
 
 
+@jax.jit
+def _dot_ys(ys, alpha_pows):
+    """sum_i alpha^i * ys_i over (w, 4) ext arrays -> (4,)."""
+    return fp_sum_axis0(ef_mul(ys, alpha_pows))
+
+
 class TwoAdicFriPcs:
     def __init__(self, mmcs: TapTreeMmcs, fri: FriConfig):
         self.mmcs = mmcs  # base-field input mmcs
@@ -139,34 +145,50 @@ class TwoAdicFriPcs:
                     low = mat[: h >> self.fri.log_blowup]
                     natural = bit_reverse_rows(low)
                     ys_dev = interpolate_coset(natural, F.generator().v, point)
-                    ys_host = np_from_mont(np.asarray(ys_dev))
-                    ys = [EF4([int(x) for x in row]) for row in ys_host]
 
+                    # alpha powers are ys-independent: the whole reduction
+                    # stays on device with no per-point host sync; ys are
+                    # fetched lazily after the loop.
+                    w = int(mat.shape[1])
                     alpha_pow_offset = alpha.exp(num_reduced[log_height])
-                    reduced_ys = EF4.zero()
-                    ap = EF4.one()
                     alpha_pows = []
-                    for y in ys:
+                    ap = EF4.one()
+                    for _ in range(w):
                         alpha_pows.append(ap)
-                        reduced_ys = reduced_ys + ap * y
                         ap = ap * alpha
                     ap_mont = jnp.asarray(
                         np_to_mont(
                             np.array([a.as_u32_vec() for a in alpha_pows], np.uint32)
                         )
                     )
+                    reduced_ys_dev = _dot_ys(ys_dev, ap_mont)
                     reduced_openings[log_height] = _reduce_rows_step(
                         mat,
                         ap_mont,
                         ef_const(alpha_pow_offset),
-                        ef_const(reduced_ys),
+                        reduced_ys_dev,
                         inv_denoms[point][:h],
                         reduced_openings[log_height],
                     )
-                    num_reduced[log_height] += int(mat.shape[1])
-                    opened_for_mat.append(ys)
+                    num_reduced[log_height] += w
+                    opened_for_mat.append(ys_dev)
                 opened_for_round.append(opened_for_mat)
             all_opened_values.append(opened_for_round)
+
+        # fetch opened values (one sync at the end of the reduction)
+        all_opened_values = [
+            [
+                [
+                    [
+                        EF4([int(x) for x in row])
+                        for row in np_from_mont(np.asarray(ys_dev))
+                    ]
+                    for ys_dev in mats_list
+                ]
+                for mats_list in round_list
+            ]
+            for round_list in all_opened_values
+        ]
 
         fri_input = [
             reduced_openings[lh] for lh in sorted(reduced_openings.keys(), reverse=True)
