@@ -30,7 +30,7 @@ def _build_and_load():
     if not os.path.exists(so_path):
         tmp = so_path + ".tmp"
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True,
             capture_output=True,
         )

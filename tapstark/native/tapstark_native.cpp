@@ -13,6 +13,11 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__SHA__) && defined(__SSE4_1__)
+#define TAPSTARK_SHA_NI 1
+#include <immintrin.h>
+#endif
+
 // ---------------------------------------------------------------------------
 // SHA-256
 // ---------------------------------------------------------------------------
@@ -36,6 +41,54 @@ static inline uint32_t rotr(uint32_t x, int n) {
   return (x >> n) | (x << (32 - n));
 }
 
+#ifdef TAPSTARK_SHA_NI
+// SHA-NI one-block compression (ABEF/CDGH register packing, canonical
+// round/message-schedule interleaving).
+static void block_ni(uint32_t h[8], const uint8_t* p) {
+  const __m128i MASK =
+      _mm_set_epi64x(0x0c0d0e0f08090a0bULL, 0x0405060700010203ULL);
+  __m128i tmp = _mm_loadu_si128((const __m128i*)&h[0]);
+  __m128i st1 = _mm_loadu_si128((const __m128i*)&h[4]);
+  tmp = _mm_shuffle_epi32(tmp, 0xB1);       // CDAB
+  st1 = _mm_shuffle_epi32(st1, 0x1B);       // EFGH
+  __m128i st0 = _mm_alignr_epi8(tmp, st1, 8);  // ABEF
+  st1 = _mm_blend_epi16(st1, tmp, 0xF0);    // CDGH
+  const __m128i abef_save = st0, cdgh_save = st1;
+
+  __m128i m[4];
+  m[0] = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(p + 0)), MASK);
+  m[1] = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(p + 16)), MASK);
+  m[2] = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(p + 32)), MASK);
+  m[3] = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(p + 48)), MASK);
+
+  for (int g = 0; g < 16; g++) {
+    __m128i wk =
+        _mm_add_epi32(m[g & 3], _mm_loadu_si128((const __m128i*)&K[4 * g]));
+    st1 = _mm_sha256rnds2_epu32(st1, st0, wk);
+    wk = _mm_shuffle_epi32(wk, 0x0E);
+    st0 = _mm_sha256rnds2_epu32(st0, st1, wk);
+    if (g >= 1 && g <= 2) {
+      m[g - 1] = _mm_sha256msg1_epu32(m[g - 1], m[g]);
+    } else if (g >= 3 && g <= 14) {
+      int cur = g & 3, prv = (g + 3) & 3, nxt = (g + 1) & 3;
+      __m128i t = _mm_alignr_epi8(m[cur], m[prv], 4);
+      m[nxt] = _mm_sha256msg2_epu32(_mm_add_epi32(m[nxt], t), m[cur]);
+      m[prv] = _mm_sha256msg1_epu32(m[prv], m[cur]);
+    }
+  }
+
+  st0 = _mm_add_epi32(st0, abef_save);
+  st1 = _mm_add_epi32(st1, cdgh_save);
+
+  tmp = _mm_shuffle_epi32(st0, 0x1B);       // FEBA
+  st1 = _mm_shuffle_epi32(st1, 0xB1);       // DCHG
+  st0 = _mm_blend_epi16(tmp, st1, 0xF0);    // DCBA
+  st1 = _mm_alignr_epi8(st1, tmp, 8);       // HGFE
+  _mm_storeu_si128((__m128i*)&h[0], st0);
+  _mm_storeu_si128((__m128i*)&h[4], st1);
+}
+#endif  // TAPSTARK_SHA_NI
+
 struct Ctx {
   uint32_t h[8];
   uint64_t len = 0;
@@ -50,6 +103,14 @@ struct Ctx {
   }
 
   void block(const uint8_t* p) {
+#ifdef TAPSTARK_SHA_NI
+    block_ni(h, p);
+    return;
+#endif
+    block_generic(p);
+  }
+
+  void block_generic(const uint8_t* p) {
     uint32_t w[64];
     for (int i = 0; i < 16; i++)
       w[i] = (uint32_t(p[4 * i]) << 24) | (uint32_t(p[4 * i + 1]) << 16) |
