@@ -64,7 +64,7 @@ def main() -> None:
     from tapstark.field.constants import P
     from tapstark.field.device import np_to_mont
     from tapstark.field.scalar import F
-    from tapstark.poly.ntt import coset_lde_batch
+    from tapstark.poly.ntt import coset_lde_batch_auto as coset_lde_batch
 
     log_n = 20
     log_blowup = 2

@@ -43,7 +43,7 @@ from ..field.device import (
 from ..field.scalar import EF4, F
 from ..poly.domain import TwoAdicMultiplicativeCoset
 from ..poly.interpolate import interpolate_coset
-from ..poly.ntt import bit_reverse_rows, coset_lde_batch_jit
+from ..poly.ntt import bit_reverse_rows, coset_lde_batch_auto
 from ..poly.powers import np_geom_powers
 from ..poly.reduce import fp_sum_axis0
 from ..utils import bitrev_indices, log2_strict, reverse_bits_len
@@ -51,6 +51,9 @@ from . import prover as fri_prover
 from . import verifier as fri_verifier
 from .config import FriConfig
 from .proof import FriProof
+
+
+_lde_jit = jax.jit(coset_lde_batch_auto, static_argnames=("log_blowup", "shift"))
 
 
 @dataclass
@@ -100,7 +103,7 @@ class TwoAdicFriPcs:
         for domain, evals in evaluations:
             assert domain.size() == evals.shape[0]
             shift = (F.generator() * F(domain.shift).inverse()).v
-            lde = coset_lde_batch_jit(evals, self.fri.log_blowup, shift)
+            lde = _lde_jit(evals, self.fri.log_blowup, shift)
             lde = bit_reverse_rows(lde)
             domains.append(domain)
             ldes.append(lde)

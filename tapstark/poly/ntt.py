@@ -159,3 +159,16 @@ intt_jit = jax.jit(intt, static_argnames=("log_n",))
 coset_lde_batch_jit = jax.jit(
     coset_lde_batch, static_argnames=("log_blowup", "shift")
 )
+
+
+def coset_lde_batch_auto(evals, log_blowup: int, shift: int):
+    """coset_lde_batch via the Pallas fused-butterfly kernels on TPU, the
+    plain jnp stage pipeline elsewhere (Pallas interpret mode on CPU is far
+    slower than compiled jnp)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from .pallas_ntt import coset_lde_batch_pallas
+
+        return coset_lde_batch_pallas(evals, log_blowup, shift)
+    return coset_lde_batch(evals, log_blowup, shift)
