@@ -5,12 +5,18 @@ Fills the role bitcoin-scriptexec plays in the reference
 is actually executed in tests. Implements the Tapscript rules the framework's
 scripts rely on: minimal data/number encodings, MINIMALIF, 4-byte numeric
 operands, the 1000-element combined stack limit and 520-byte element limit.
+
+The script is precompiled once into an instruction list (pushes decoded,
+IF/ELSE/ENDIF jump targets resolved) and executed in a tight loop — emitted
+verifier scripts run to tens of megabytes, so interpreter throughput matters
+for the test suite.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..hashes.ripemd160 import hash160, ripemd160
 from . import opcodes as op
@@ -40,41 +46,69 @@ def _truthy(b: bytes) -> bool:
     return False
 
 
-@dataclass
-class _Exec:
-    script: bytes
-    stack: list[bytes]
-    alt: list[bytes] = field(default_factory=list)
-    pc: int = 0
-    op_count: int = 0
-    max_stack: int = 0
-    stack_limit: int = MAX_STACK
-    # each entry: (branch_taken, in_else)
-    cond: list[bool] = field(default_factory=list)
+_PUSH = 0x100  # pseudo-opcode for decoded pushes
 
-    def pop(self) -> bytes:
-        if not self.stack:
-            raise ScriptError("stack underflow")
-        return self.stack.pop()
 
-    def popn(self) -> int:
-        return decode_num(self.pop())
+@functools.lru_cache(maxsize=512)
+def _compile(script: bytes):
+    """Decode to [(opcode, arg)] with IF/ELSE/ENDIF jump targets resolved.
 
-    def push(self, b: bytes) -> None:
-        if len(b) > MAX_ELEMENT:
-            raise ScriptError("element too large")
-        self.stack.append(b)
-        self._track()
-
-    def pushn(self, n: int) -> None:
-        self.push(encode_num(n))
-
-    def _track(self) -> None:
-        depth = len(self.stack) + len(self.alt)
-        if depth > self.stack_limit:
-            raise ScriptError("stack size limit exceeded")
-        if depth > self.max_stack:
-            self.max_stack = depth
+    For OP_IF/OP_NOTIF arg = (else_or_end_target, end_target); for OP_ELSE
+    arg = end_target (instruction index just past the matching OP_ENDIF is
+    NOT needed — targets point at the instruction AFTER the jump point)."""
+    ins: list[tuple] = []
+    pc = 0
+    n = len(script)
+    while pc < n:
+        opcode = script[pc]
+        pc += 1
+        if opcode <= op.OP_PUSHDATA4:
+            if opcode == op.OP_0:
+                ins.append((_PUSH, b""))
+                continue
+            if opcode <= 0x4B:
+                ln = opcode
+            elif opcode == op.OP_PUSHDATA1:
+                ln = script[pc]
+                pc += 1
+            elif opcode == op.OP_PUSHDATA2:
+                ln = int.from_bytes(script[pc : pc + 2], "little")
+                pc += 2
+            else:
+                ln = int.from_bytes(script[pc : pc + 4], "little")
+                pc += 4
+            if pc + ln > n:
+                raise ScriptError("push past end of script")
+            ins.append((_PUSH, script[pc : pc + ln]))
+            pc += ln
+        else:
+            ins.append([opcode, None])
+    # resolve branch targets
+    stack = []
+    for i, item in enumerate(ins):
+        code = item[0]
+        if code in (op.OP_IF, op.OP_NOTIF):
+            stack.append(i)
+        elif code == op.OP_ELSE:
+            if not stack:
+                raise ScriptError("OP_ELSE without OP_IF")
+            j = stack[-1]
+            if ins[j][0] in (op.OP_IF, op.OP_NOTIF):
+                ins[j][1] = i + 1  # false branch starts after ELSE
+                stack[-1] = i  # now waiting for ENDIF to fix ELSE target
+            else:
+                raise ScriptError("duplicate OP_ELSE")
+        elif code == op.OP_ENDIF:
+            if not stack:
+                raise ScriptError("OP_ENDIF without OP_IF")
+            j = stack.pop()
+            if ins[j][0] == op.OP_ELSE:
+                ins[j][1] = i + 1  # taken-branch jumps past ENDIF
+            else:
+                ins[j][1] = i + 1  # no ELSE: false branch goes past ENDIF
+    if stack:
+        raise ScriptError("unbalanced conditional")
+    return [tuple(x) if isinstance(x, list) else x for x in ins]
 
 
 def execute_script(
@@ -92,259 +126,210 @@ def execute_script(
     committing wide traces (whose leaf witnesses structurally exceed Bitcoin's
     limit — also true of the reference's wide-table "estimate" rows) may
     relax it for simulation."""
-    ex = _Exec(script=script, stack=list(witness or []), stack_limit=stack_limit)
-    ex._track()
+    st: list[bytes] = list(witness or [])
+    alt: list[bytes] = []
+    max_stack = len(st)
+    op_count = 0
+    if max_stack > stack_limit:
+        return ExecutionResult(False, st, "stack size limit exceeded", 0, max_stack)
+
     try:
-        _run(ex)
+        ins = _compile(bytes(script))
     except ScriptError as e:
-        return ExecutionResult(
-            False, ex.stack, str(e), ex.op_count, ex.max_stack
-        )
-    ok = len(ex.stack) == 1 and _truthy(ex.stack[0])
-    err = None if ok else "final stack not a single truthy element"
-    return ExecutionResult(ok, ex.stack, err, ex.op_count, ex.max_stack)
+        return ExecutionResult(False, st, str(e), 0, max_stack)
 
+    sha = hashlib.sha256
+    dec = decode_num
+    enc = encode_num
+    n_ins = len(ins)
+    pc = 0
+    err = None
 
-def _run(ex: _Exec) -> None:
-    s = ex.script
-    n = len(s)
-    while ex.pc < n:
-        opcode = s[ex.pc]
-        ex.pc += 1
-
-        # push opcodes execute even inside untaken branches? No — skipped, but
-        # must still be parsed to find the branch end.
-        if opcode <= op.OP_PUSHDATA4:
-            data, ex.pc = _read_push(s, ex.pc, opcode)
-            if _executing(ex):
-                ex.push(data)
-            continue
-
-        if opcode in (op.OP_IF, op.OP_NOTIF):
-            if _executing(ex):
-                top = ex.pop()
+    try:
+        while pc < n_ins:
+            code, arg = ins[pc]
+            pc += 1
+            if code == _PUSH:
+                if len(arg) > MAX_ELEMENT:
+                    raise ScriptError("element too large")
+                st.append(arg)
+            elif code == op.OP_EQUALVERIFY:
+                a = st.pop()
+                b = st.pop()
+                if a != b:
+                    raise ScriptError(
+                        f"OP_EQUALVERIFY failed: {a.hex()} != {b.hex()}"
+                    )
+            elif code == op.OP_DUP:
+                st.append(st[-1])
+            elif code == op.OP_ADD:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(enc(a + b))
+            elif code == op.OP_SUB:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(enc(a - b))
+            elif code == op.OP_TOALTSTACK:
+                alt.append(st.pop())
+            elif code == op.OP_FROMALTSTACK:
+                if not alt:
+                    raise ScriptError("altstack underflow")
+                st.append(alt.pop())
+            elif code == op.OP_PICK or code == op.OP_ROLL:
+                k = dec(st.pop())
+                if k < 0 or k >= len(st):
+                    raise ScriptError("pick/roll out of range")
+                if code == op.OP_ROLL:
+                    st.append(st.pop(-k - 1))
+                else:
+                    st.append(st[-k - 1])
+            elif code == op.OP_HASH160:
+                st.append(hash160(st.pop()))
+            elif code == op.OP_SWAP:
+                st[-1], st[-2] = st[-2], st[-1]
+            elif code == op.OP_IF or code == op.OP_NOTIF:
+                top = st.pop()
                 if top not in (b"", b"\x01"):
                     raise ScriptError("MINIMALIF violation")
-                val = _truthy(top)
-                if opcode == op.OP_NOTIF:
+                val = top == b"\x01"
+                if code == op.OP_NOTIF:
                     val = not val
-                ex.cond.append(val)
+                if not val:
+                    pc = arg  # jump to else-branch / past endif
+            elif code == op.OP_ELSE:
+                pc = arg  # end of taken branch: jump past endif
+            elif code == op.OP_ENDIF:
+                pass
+            elif code == op.OP_2DROP:
+                st.pop()
+                st.pop()
+            elif code == op.OP_DROP:
+                st.pop()
+            elif code == op.OP_GREATERTHANOREQUAL:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(b"\x01" if a >= b else b"")
+            elif code == op.OP_MIN:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(enc(min(a, b)))
+            elif code == op.OP_2DUP:
+                st += st[-2:]
+            elif code == op.OP_ROT:
+                st.append(st.pop(-3))
+            elif code == op.OP_OVER:
+                st.append(st[-2])
+            elif code == op.OP_TUCK:
+                st.insert(-2, st[-1])
+            elif code == op.OP_NIP:
+                del st[-2]
+            elif code == op.OP_EQUAL:
+                a = st.pop()
+                b = st.pop()
+                st.append(b"\x01" if a == b else b"")
+            elif code == op.OP_VERIFY:
+                if not _truthy(st.pop()):
+                    raise ScriptError("OP_VERIFY failed")
+            elif code == op.OP_1NEGATE:
+                st.append(enc(-1))
+            elif op.OP_1 <= code <= op.OP_16:
+                st.append(enc(code - op.OP_1 + 1))
+            elif code == op.OP_NOP:
+                pass
+            elif code == op.OP_RETURN:
+                raise ScriptError("OP_RETURN")
+            elif code == op.OP_3DUP:
+                st += st[-3:]
+            elif code == op.OP_2OVER:
+                st += st[-4:-2]
+            elif code == op.OP_2ROT:
+                st.append(st.pop(-6))
+                st.append(st.pop(-6))
+            elif code == op.OP_2SWAP:
+                st[-4], st[-3], st[-2], st[-1] = st[-2], st[-1], st[-4], st[-3]
+            elif code == op.OP_IFDUP:
+                if _truthy(st[-1]):
+                    st.append(st[-1])
+            elif code == op.OP_DEPTH:
+                st.append(enc(len(st)))
+            elif code == op.OP_SIZE:
+                st.append(enc(len(st[-1])))
+            elif code == op.OP_1ADD:
+                st.append(enc(dec(st.pop()) + 1))
+            elif code == op.OP_1SUB:
+                st.append(enc(dec(st.pop()) - 1))
+            elif code == op.OP_NEGATE:
+                st.append(enc(-dec(st.pop())))
+            elif code == op.OP_ABS:
+                st.append(enc(abs(dec(st.pop()))))
+            elif code == op.OP_NOT:
+                st.append(enc(int(dec(st.pop()) == 0)))
+            elif code == op.OP_0NOTEQUAL:
+                st.append(enc(int(dec(st.pop()) != 0)))
+            elif code == op.OP_BOOLAND:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(enc(int(a != 0 and b != 0)))
+            elif code == op.OP_BOOLOR:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(enc(int(a != 0 or b != 0)))
+            elif code == op.OP_NUMEQUAL:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(enc(int(a == b)))
+            elif code == op.OP_NUMEQUALVERIFY:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                if a != b:
+                    raise ScriptError("OP_NUMEQUALVERIFY failed")
+            elif code == op.OP_NUMNOTEQUAL:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(enc(int(a != b)))
+            elif code == op.OP_LESSTHAN:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(b"\x01" if a < b else b"")
+            elif code == op.OP_GREATERTHAN:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(b"\x01" if a > b else b"")
+            elif code == op.OP_LESSTHANOREQUAL:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(b"\x01" if a <= b else b"")
+            elif code == op.OP_MAX:
+                b = dec(st.pop())
+                a = dec(st.pop())
+                st.append(enc(max(a, b)))
+            elif code == op.OP_WITHIN:
+                mx = dec(st.pop())
+                mn = dec(st.pop())
+                x = dec(st.pop())
+                st.append(b"\x01" if mn <= x < mx else b"")
+            elif code == op.OP_RIPEMD160:
+                st.append(ripemd160(st.pop()))
+            elif code == op.OP_SHA256:
+                st.append(sha(st.pop()).digest())
+            elif code == op.OP_HASH256:
+                st.append(sha(sha(st.pop()).digest()).digest())
             else:
-                ex.cond.append(False)  # nested in dead branch
-                ex.cond[-1] = None  # type: ignore  # sentinel: never executes
-            continue
-        if opcode == op.OP_ELSE:
-            if not ex.cond:
-                raise ScriptError("OP_ELSE without OP_IF")
-            if ex.cond[-1] is not None:
-                ex.cond[-1] = not ex.cond[-1]
-            continue
-        if opcode == op.OP_ENDIF:
-            if not ex.cond:
-                raise ScriptError("OP_ENDIF without OP_IF")
-            ex.cond.pop()
-            continue
+                raise ScriptError(f"unimplemented opcode 0x{code:02x}")
+            op_count += 1
+            depth = len(st) + len(alt)
+            if depth > stack_limit:
+                raise ScriptError("stack size limit exceeded")
+            if depth > max_stack:
+                max_stack = depth
+    except ScriptError as e:
+        return ExecutionResult(False, st, str(e), op_count, max_stack)
+    except IndexError:
+        return ExecutionResult(False, st, "stack underflow", op_count, max_stack)
+    except ValueError as e:
+        return ExecutionResult(False, st, str(e), op_count, max_stack)
 
-        if not _executing(ex):
-            continue
-
-        ex.op_count += 1
-        _step(ex, opcode)
-    if ex.cond:
-        raise ScriptError("unbalanced conditional")
-
-
-def _executing(ex: _Exec) -> bool:
-    return all(c is True for c in ex.cond)
-
-
-def _read_push(s: bytes, pc: int, opcode: int) -> tuple[bytes, int]:
-    if opcode == op.OP_0:
-        return b"", pc
-    if opcode <= 0x4B:
-        ln = opcode
-    elif opcode == op.OP_PUSHDATA1:
-        ln = s[pc]
-        pc += 1
-    elif opcode == op.OP_PUSHDATA2:
-        ln = int.from_bytes(s[pc : pc + 2], "little")
-        pc += 2
-    else:
-        ln = int.from_bytes(s[pc : pc + 4], "little")
-        pc += 4
-    if pc + ln > len(s):
-        raise ScriptError("push past end of script")
-    return s[pc : pc + ln], pc + ln
-
-
-def _step(ex: _Exec, opcode: int) -> None:
-    st = ex.stack
-    if opcode == op.OP_1NEGATE:
-        ex.pushn(-1)
-    elif op.OP_1 <= opcode <= op.OP_16:
-        ex.pushn(opcode - op.OP_1 + 1)
-    elif opcode == op.OP_NOP:
-        pass
-    elif opcode == op.OP_VERIFY:
-        if not _truthy(ex.pop()):
-            raise ScriptError("OP_VERIFY failed")
-    elif opcode == op.OP_RETURN:
-        raise ScriptError("OP_RETURN")
-    elif opcode == op.OP_TOALTSTACK:
-        ex.alt.append(ex.pop())
-    elif opcode == op.OP_FROMALTSTACK:
-        if not ex.alt:
-            raise ScriptError("altstack underflow")
-        ex.push(ex.alt.pop())
-    elif opcode == op.OP_2DROP:
-        ex.pop(), ex.pop()
-    elif opcode == op.OP_2DUP:
-        if len(st) < 2:
-            raise ScriptError("stack underflow")
-        a, b = st[-2], st[-1]
-        ex.push(a)
-        ex.push(b)
-    elif opcode == op.OP_3DUP:
-        if len(st) < 3:
-            raise ScriptError("stack underflow")
-        a, b, c = st[-3], st[-2], st[-1]
-        ex.push(a)
-        ex.push(b)
-        ex.push(c)
-    elif opcode == op.OP_2OVER:
-        if len(st) < 4:
-            raise ScriptError("stack underflow")
-        a, b = st[-4], st[-3]
-        ex.push(a)
-        ex.push(b)
-    elif opcode == op.OP_2ROT:
-        if len(st) < 6:
-            raise ScriptError("stack underflow")
-        a, b = st[-6], st[-5]
-        del st[-6:-4]
-        ex.push(a)
-        ex.push(b)
-    elif opcode == op.OP_2SWAP:
-        if len(st) < 4:
-            raise ScriptError("stack underflow")
-        st[-4], st[-3], st[-2], st[-1] = st[-2], st[-1], st[-4], st[-3]
-    elif opcode == op.OP_IFDUP:
-        if not st:
-            raise ScriptError("stack underflow")
-        if _truthy(st[-1]):
-            ex.push(st[-1])
-    elif opcode == op.OP_DEPTH:
-        ex.pushn(len(st))
-    elif opcode == op.OP_DROP:
-        ex.pop()
-    elif opcode == op.OP_DUP:
-        if not st:
-            raise ScriptError("stack underflow")
-        ex.push(st[-1])
-    elif opcode == op.OP_NIP:
-        if len(st) < 2:
-            raise ScriptError("stack underflow")
-        del st[-2]
-    elif opcode == op.OP_OVER:
-        if len(st) < 2:
-            raise ScriptError("stack underflow")
-        ex.push(st[-2])
-    elif opcode in (op.OP_PICK, op.OP_ROLL):
-        k = ex.popn()
-        if k < 0 or k >= len(st):
-            raise ScriptError("pick/roll out of range")
-        item = st[-k - 1]
-        if opcode == op.OP_ROLL:
-            del st[-k - 1]
-        ex.push(item)
-    elif opcode == op.OP_ROT:
-        if len(st) < 3:
-            raise ScriptError("stack underflow")
-        item = st[-3]
-        del st[-3]
-        ex.push(item)
-    elif opcode == op.OP_SWAP:
-        if len(st) < 2:
-            raise ScriptError("stack underflow")
-        st[-1], st[-2] = st[-2], st[-1]
-    elif opcode == op.OP_TUCK:
-        if len(st) < 2:
-            raise ScriptError("stack underflow")
-        st.insert(-2, st[-1])
-        ex._track()
-    elif opcode == op.OP_SIZE:
-        if not st:
-            raise ScriptError("stack underflow")
-        ex.pushn(len(st[-1]))
-    elif opcode in (op.OP_EQUAL, op.OP_EQUALVERIFY):
-        a = ex.pop()
-        b = ex.pop()
-        eq = a == b
-        if opcode == op.OP_EQUAL:
-            ex.push(b"\x01" if eq else b"")
-        elif not eq:
-            raise ScriptError(f"OP_EQUALVERIFY failed: {a.hex()} != {b.hex()}")
-    elif opcode == op.OP_1ADD:
-        ex.pushn(ex.popn() + 1)
-    elif opcode == op.OP_1SUB:
-        ex.pushn(ex.popn() - 1)
-    elif opcode == op.OP_NEGATE:
-        ex.pushn(-ex.popn())
-    elif opcode == op.OP_ABS:
-        ex.pushn(abs(ex.popn()))
-    elif opcode == op.OP_NOT:
-        ex.pushn(int(ex.popn() == 0))
-    elif opcode == op.OP_0NOTEQUAL:
-        ex.pushn(int(ex.popn() != 0))
-    elif opcode == op.OP_ADD:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(a + b)
-    elif opcode == op.OP_SUB:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(a - b)
-    elif opcode == op.OP_BOOLAND:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(int(a != 0 and b != 0))
-    elif opcode == op.OP_BOOLOR:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(int(a != 0 or b != 0))
-    elif opcode in (op.OP_NUMEQUAL, op.OP_NUMEQUALVERIFY):
-        b, a = ex.popn(), ex.popn()
-        if opcode == op.OP_NUMEQUAL:
-            ex.pushn(int(a == b))
-        elif a != b:
-            raise ScriptError("OP_NUMEQUALVERIFY failed")
-    elif opcode == op.OP_NUMNOTEQUAL:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(int(a != b))
-    elif opcode == op.OP_LESSTHAN:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(int(a < b))
-    elif opcode == op.OP_GREATERTHAN:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(int(a > b))
-    elif opcode == op.OP_LESSTHANOREQUAL:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(int(a <= b))
-    elif opcode == op.OP_GREATERTHANOREQUAL:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(int(a >= b))
-    elif opcode == op.OP_MIN:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(min(a, b))
-    elif opcode == op.OP_MAX:
-        b, a = ex.popn(), ex.popn()
-        ex.pushn(max(a, b))
-    elif opcode == op.OP_WITHIN:
-        mx, mn, x = ex.popn(), ex.popn(), ex.popn()
-        ex.pushn(int(mn <= x < mx))
-    elif opcode == op.OP_RIPEMD160:
-        ex.push(ripemd160(ex.pop()))
-    elif opcode == op.OP_SHA256:
-        ex.push(hashlib.sha256(ex.pop()).digest())
-    elif opcode == op.OP_HASH160:
-        ex.push(hash160(ex.pop()))
-    elif opcode == op.OP_HASH256:
-        ex.push(hashlib.sha256(hashlib.sha256(ex.pop()).digest()).digest())
-    else:
-        raise ScriptError(f"unimplemented opcode 0x{opcode:02x}")
+    ok = len(st) == 1 and _truthy(st[0])
+    err = None if ok else "final stack not a single truthy element"
+    return ExecutionResult(ok, st, err, op_count, max_stack)
