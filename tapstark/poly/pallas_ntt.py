@@ -153,3 +153,149 @@ def coset_lde_batch_pallas(evals, log_blowup: int, shift: int):
     coeffs = fp_mul(coeffs, sp[:, None])
     padded = jnp.zeros((n << log_blowup, w), jnp.uint32).at[:n, :].set(coeffs)
     return ntt_pallas(padded)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free LDE: DIF/DIT member transforms (bit-reversal absorbed into
+# layout algebra; the only index gather left is the final bitrev of the
+# caller, replaced here by transposes the TPU handles natively).
+#
+#   DIF member: natural input -> bitrev output (used by the inverse NTT);
+#   DIT member: bitrev input -> natural output (the existing kernel).
+#
+# Inverse (evals natural -> coeffs in bitrev_n order):
+#   view (R, C); DIF over axis0; twiddle T[p1, i2] = w^{-brv_R(p1) * i2};
+#   transpose; DIF over axis0 (size C); transpose -> flat bitrev_n. scale 1/n.
+# Forward (coeffs in bitrev_N order -> evals natural):
+#   view (C, R) [axis0 = brv_C(i2), axis1 = brv_R(i1)]; transpose; DIT over
+#   axis0 (size R); twiddle T[k1, p2] = w^{k1 * brv_C(p2)}; transpose; DIT
+#   over axis0 (size C) -> Y[k2, k1] -> flat natural.
+# ---------------------------------------------------------------------------
+
+
+def _dif_butterfly_kernel(log_r: int):
+    r = 1 << log_r
+
+    def kernel(x_ref, tw_ref, o_ref):
+        x = x_ref[:]  # (R, LANE), natural order
+        for s in range(log_r, 0, -1):
+            m = 1 << s
+            half = m >> 1
+            tw = tw_ref[s - 1, :half]
+            blk = x.reshape(r // m, m, _LANE)
+            lo = blk[:, :half, :]
+            hi = blk[:, half:, :]
+            s_lo = fp_add(lo, hi)
+            s_hi = fp_mul(fp_sub(lo, hi), tw[None, :, None])
+            x = jnp.concatenate([s_lo, s_hi], axis=1).reshape(r, _LANE)
+            o_ref[:] = x
+            x = o_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("log_r", "inverse"))
+def _dif_cols_pallas(mat, log_r: int, inverse: bool):
+    """Column DIF transforms: natural input, bit-reversed output."""
+    r, b = mat.shape
+    assert r == 1 << log_r
+    pad = (-b) % _LANE
+    if pad:
+        mat = jnp.pad(mat, ((0, 0), (0, pad)))
+    bp = mat.shape[1]
+    tw = jnp.asarray(_packed_twiddles(log_r, inverse))
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _dif_butterfly_kernel(log_r),
+        interpret=interpret,
+        grid=(bp // _LANE,),
+        in_specs=[
+            pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, bp), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(mat, tw)
+    return out[:, :b] if pad else out
+
+
+@functools.lru_cache(maxsize=None)
+def _outer_twiddle_brv_rows(log_r: int, log_c: int, inverse: bool) -> np.ndarray:
+    """(R, C): T[p1, i2] = w^{±brv_R(p1) * i2} (rows bit-reversed)."""
+    t = _outer_twiddle_mont(log_r, log_c, inverse)
+    return t[bitrev_indices_np(log_r)]
+
+
+@functools.lru_cache(maxsize=None)
+def _outer_twiddle_brv_cols(log_r: int, log_c: int, inverse: bool) -> np.ndarray:
+    """(R, C): T[k1, p2] = w^{±k1 * brv_C(p2)} (columns bit-reversed)."""
+    t = _outer_twiddle_mont(log_r, log_c, inverse)
+    return t[:, bitrev_indices_np(log_c)]
+
+
+def bitrev_indices_np(log_n: int):
+    from ..utils import bitrev_indices
+
+    return bitrev_indices(log_n)
+
+
+def _split(log_n: int) -> tuple[int, int]:
+    log_c = log_n // 2
+    return log_n - log_c, log_c
+
+
+def intt_to_bitrev_pallas(evals):
+    """(n, w) natural evals -> coefficients in bitrev_n order (scaled 1/n)."""
+    n, w = evals.shape
+    log_n = log2_strict(n)
+    log_r, log_c = _split(log_n)
+    r, c = 1 << log_r, 1 << log_c
+    m = evals.reshape(r, c * w)
+    a = _dif_cols_pallas(m, log_r, inverse=True)  # A[p1, (i2, w)]
+    tw = jnp.asarray(_outer_twiddle_brv_rows(log_r, log_c, True))
+    a = fp_mul(a.reshape(r, c, w), tw[:, :, None])
+    b = jnp.swapaxes(a, 0, 1).reshape(c, r * w)  # B[i2, (p1, w)]
+    y = _dif_cols_pallas(b, log_c, inverse=True)  # Y[p2, (p1, w)]
+    out = jnp.swapaxes(y.reshape(c, r, w), 0, 1).reshape(n, w)
+    # flat index p1*C + p2 = brv_n(i) for coefficient i  (bitrev_n order)
+    return fp_mul(out, jnp.uint32(_n_inv_mont(log_n)))
+
+
+def ntt_from_bitrev_pallas(coeffs_brv):
+    """(n, w) coefficients in bitrev_n order -> natural evaluations."""
+    n, w = coeffs_brv.shape
+    log_n = log2_strict(n)
+    log_r, log_c = _split(log_n)
+    r, c = 1 << log_r, 1 << log_c
+    # with i = i1*C + i2 (i1 the high digit), flat bitrev_n index is
+    # brv_C(i2)*R + brv_R(i1) -> view (C, R): axis0 = brv_C(i2),
+    # axis1 = brv_R(i1)
+    m = coeffs_brv.reshape(c, r, w)
+    m = jnp.swapaxes(m, 0, 1)  # (R, C): axis0 = brv_R(i1)
+    a = _ntt_cols_pallas(m.reshape(r, c * w), log_r, inverse=False)
+    # A[k1, (brv_C(i2), w)]
+    tw = jnp.asarray(_outer_twiddle_brv_cols(log_r, log_c, False))
+    a = fp_mul(a.reshape(r, c, w), tw[:, :, None])
+    b = jnp.swapaxes(a, 0, 1).reshape(c, r * w)  # B[brv_C(i2), (k1, w)]
+    y = _ntt_cols_pallas(b, log_c, inverse=False)  # Y[k2, (k1, w)]
+    return y.reshape(n, w)  # flat k2*R + k1 = k  (natural)
+
+
+def coset_lde_batch_pallas_nogather(evals, log_blowup: int, shift: int):
+    """Coset LDE (natural-order rows) with no device index-gathers: the
+    bit reversals are absorbed into twiddle tables, layout reshapes and
+    transposes (cheap, tiled ops on TPU)."""
+    if log2_strict(evals.shape[0]) < 4:
+        return coset_lde_batch_pallas(evals, log_blowup, shift)
+    n, w = evals.shape
+    log_n = log2_strict(n)
+    coeffs_brv = intt_to_bitrev_pallas(evals)
+    # scale coeff i by shift^i: table in bitrev_n order
+    sp = _shift_powers(log_n, shift % P)
+    sp_brv = jnp.asarray(sp[bitrev_indices_np(log_n)])
+    coeffs_brv = fp_mul(coeffs_brv, sp_brv[:, None])
+    # zero-pad to bitrev_N layout: coeff at brv_n position p lands at p*2^b
+    blow = 1 << log_blowup
+    padded = jnp.zeros((n, blow, w), jnp.uint32).at[:, 0, :].set(coeffs_brv)
+    return ntt_from_bitrev_pallas(padded.reshape(n * blow, w))

@@ -33,3 +33,18 @@ def test_pallas_coset_lde_matches_jnp():
         np_from_mont(np.asarray(coset_lde_batch_pallas(x, 2, F.generator().v))),
         np_from_mont(np.asarray(coset_lde_batch(x, 2, F.generator().v))),
     )
+
+
+def test_pallas_nogather_lde_matches_jnp():
+    from tapstark.poly.pallas_ntt import coset_lde_batch_pallas_nogather
+
+    rng = np.random.default_rng(2)
+    for log_n, lb in ((5, 1), (8, 2), (11, 2)):
+        x = to_mont(rng.integers(0, P, (1 << log_n, 3)).astype(np.uint32))
+        np.testing.assert_array_equal(
+            np_from_mont(
+                np.asarray(coset_lde_batch_pallas_nogather(x, lb, F.generator().v))
+            ),
+            np_from_mont(np.asarray(coset_lde_batch(x, lb, F.generator().v))),
+            err_msg=f"log_n={log_n}",
+        )
