@@ -86,9 +86,27 @@ def _dot_ys(ys, alpha_pows):
 
 
 class TwoAdicFriPcs:
-    def __init__(self, mmcs: TapTreeMmcs, fri: FriConfig):
+    def __init__(self, mmcs: TapTreeMmcs, fri: FriConfig, mesh=None):
+        """mesh: optional jax.sharding.Mesh — LDEs run as distributed
+        four-step NTTs (all_to_all transposes over ICI) and the device
+        arrays stay row-sharded through the open-phase reduction."""
         self.mmcs = mmcs  # base-field input mmcs
         self.fri = fri
+        self.mesh = mesh
+
+    def _lde(self, evals, shift: int):
+        if self.mesh is not None:
+            import math
+
+            from ..mesh.ntt import distributed_coset_lde
+
+            num = self.mesh.devices.size
+            log_num = int(math.log2(num)) if num > 1 else 0
+            if evals.shape[0] >= 1 << max(2 * log_num, 2):
+                return distributed_coset_lde(
+                    self.mesh, evals, self.fri.log_blowup, shift
+                )
+        return _lde_jit(evals, self.fri.log_blowup, shift)
 
     # -- domains -----------------------------------------------------------
     def natural_domain_for_degree(self, degree: int) -> TwoAdicMultiplicativeCoset:
@@ -103,7 +121,7 @@ class TwoAdicFriPcs:
         for domain, evals in evaluations:
             assert domain.size() == evals.shape[0]
             shift = (F.generator() * F(domain.shift).inverse()).v
-            lde = _lde_jit(evals, self.fri.log_blowup, shift)
+            lde = self._lde(evals, shift)
             lde = bit_reverse_rows(lde)
             domains.append(domain)
             ldes.append(lde)
