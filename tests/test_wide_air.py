@@ -1,0 +1,34 @@
+"""WideAir: constraint correctness and a small end-to-end prove/verify."""
+
+import pytest
+
+from tapstark.airs.wide import WideAir, generate_wide_trace
+from tapstark.challenger import BfChallenger
+from tapstark.commit import BcManager, TapTreeMmcs
+from tapstark.field import F
+from tapstark.fri import FriConfig, TwoAdicFriPcs
+from tapstark.stark import check_constraints, prove, verify
+
+
+def test_wide_air_constraints():
+    trace, pis = generate_wide_trace(17, 8)
+    check_constraints(WideAir(17), trace, [F(x) for x in pis])
+    bad = trace.copy()
+    bad[2, 5] = (int(bad[2, 5]) + 1) % 7
+    with pytest.raises(AssertionError):
+        check_constraints(WideAir(17), bad, [F(x) for x in pis])
+
+
+def test_wide_air_prove_verify():
+    nq = 1
+    fri = FriConfig(
+        log_blowup=1,
+        num_queries=nq,
+        proof_of_work_bits=2,
+        mmcs=TapTreeMmcs(BcManager(), nq, ext=True),
+    )
+    pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri)
+    trace, pis = generate_wide_trace(16, 8)
+    pis_f = [F(x) for x in pis]
+    proof = prove(pcs, WideAir(16), BfChallenger(), trace, pis_f, debug=True)
+    verify(pcs, WideAir(16), BfChallenger(), proof, pis_f)
