@@ -3,9 +3,7 @@ real blake3 of the message, all constraints hold row-by-row, and tampering
 anywhere (schedule, state flow, output) breaks a constraint.
 
 The end-to-end prove at 1548 columns compiles a very large device graph; it
-runs when TAPSTARK_SLOW=1 (kept out of the default suite's time budget)."""
-
-import os
+end-to-end prove takes ~100 s (large constraint graph compile)."""
 
 import numpy as np
 import pytest
@@ -69,10 +67,6 @@ def test_blake3_compression_tamper_detection():
         check_constraints(air, bad3, pis_f)
 
 
-@pytest.mark.skipif(
-    os.environ.get("TAPSTARK_SLOW") != "1",
-    reason="1548-column prove compiles a very large graph; set TAPSTARK_SLOW=1",
-)
 def test_blake3_compression_prove_verify():
     from tapstark.challenger import BfChallenger
     from tapstark.commit import BcManager, TapTreeMmcs
