@@ -2,8 +2,8 @@
 real blake3 of the message, all constraints hold row-by-row, and tampering
 anywhere (schedule, state flow, output) breaks a constraint.
 
-The end-to-end prove at 1548 columns compiles a very large device graph; it
-end-to-end prove takes ~100 s (large constraint graph compile)."""
+The end-to-end prove (1548 columns, ~4600 constraints) takes ~100 s,
+dominated by the device-graph compile."""
 
 import numpy as np
 import pytest
