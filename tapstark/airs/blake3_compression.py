@@ -306,3 +306,248 @@ def generate_blake3_compression_trace(message: bytes):
         pis += [w & 0xFFFF, w >> 16]
     digest = b"".join(w.to_bytes(4, "little") for w in digest_words)
     return rows, [int(x) for x in pis], digest
+
+
+class Blake3SpongeChainAir(Blake3CompressionAir):
+    """Chained Blake3 permutations — the challenger's duplex sponge as an AIR.
+
+    The sponge permutation blake3-hashes the 64-byte sponge state (reference
+    basic/src/challenger/mod.rs:34-48): the sponge state is the compression
+    MESSAGE, the internal chaining state v restarts at the single-block
+    constants every permutation. The trace is k 64-row blocks:
+
+      - block start (sel[0] rows): v = the blake3 single-block init state;
+        message words 8..15 = previous permutation's digest (capacity carry,
+        zero for the first block); message words 0..7 = this permutation's
+        absorbed rate words (free witness, bitness-constrained);
+      - within a block: the inherited compression constraints;
+      - public values (16): half-words of the FINAL digest h_i = v_i^v_{i+8}.
+    """
+
+    def eval(self, builder) -> None:
+        main = builder.main()
+        local = main.row(0)
+        nxt = main.row(1)
+        pis = builder.public_values()
+
+        for i in range(NUM_COLS):
+            x = local[i]
+            builder.assert_zero(x * x - x)
+
+        sel = _bits(local, "sel")
+        sel_next = _bits(nxt, "sel")
+        s = sel[0] * 1
+        for p in range(1, ROWS):
+            s = s + sel[p]
+        builder.assert_zero(s - 1)
+        transition = builder.when_transition()
+        for p in range(ROWS):
+            transition.assert_eq(sel_next[(p + 1) % ROWS], sel[p])
+        first = builder.when_first_row()
+        first.assert_eq(sel[0], 1)
+
+        state = [_bits(local, f"v{i}") for i in range(16)]
+        state_next = [_bits(nxt, f"v{i}") for i in range(16)]
+        msg = [_bits(local, f"m{i}") for i in range(16)]
+        msg_next = [_bits(nxt, f"m{i}") for i in range(16)]
+
+        ops = {n: _bits(local, f"op_{n}") for n in ("a", "b", "c", "d", "mx", "my")}
+        for slot_i, slot in enumerate(("a", "b", "c", "d")):
+            for bit in range(32):
+                acc = None
+                for p in range(N_G):
+                    term = sel[p] * state[SCHEDULE[p][0][slot_i]][bit]
+                    acc = term if acc is None else acc + term
+                builder.assert_zero(ops[slot][bit] - acc)
+        for slot_i, slot in enumerate(("mx", "my")):
+            for bit in range(32):
+                acc = None
+                for p in range(N_G):
+                    term = sel[p] * msg[SCHEDULE[p][1][slot_i]][bit]
+                    acc = term if acc is None else acc + term
+                builder.assert_zero(ops[slot][bit] - acc)
+
+        def xor(xb, yb):
+            return [x + y - x * y * 2 for x, y in zip(xb, yb)]
+
+        def rrot(bits, n):
+            return [bits[(i + n) % 32] for i in range(32)]
+
+        def add_constraints(out_name, carry_name, terms):
+            out = _bits(local, out_name)
+            carries = _bits(local, carry_name)
+            ncar = len(carries) // 2
+            for limb_i in range(2):
+                lo = 16 * limb_i
+                ssum = None
+                for t in terms:
+                    part = _limb(t, lo)
+                    ssum = part if ssum is None else ssum + part
+                if limb_i == 1:
+                    cin = carries[0] * 1
+                    for j in range(1, ncar):
+                        cin = cin + carries[j] * (1 << j)
+                    ssum = ssum + cin
+                rhs = _limb(out, lo)
+                cout = carries[ncar * limb_i] * 1
+                for j in range(1, ncar):
+                    cout = cout + carries[ncar * limb_i + j] * (1 << j)
+                builder.assert_zero(ssum - (rhs + cout * (1 << 16)))
+
+        a1 = _bits(local, "a1")
+        d1 = _bits(local, "d1")
+        c1 = _bits(local, "c1")
+        b1 = _bits(local, "b1")
+        a2 = _bits(local, "a2")
+        d2 = _bits(local, "d2")
+        c2 = _bits(local, "c2")
+        b2 = _bits(local, "b2")
+
+        add_constraints("a1", "ca1", [ops["a"], ops["b"], ops["mx"]])
+        for i, want in enumerate(rrot(xor(ops["d"], a1), 16)):
+            builder.assert_zero(d1[i] - want)
+        add_constraints("c1", "cc1", [ops["c"], d1])
+        for i, want in enumerate(rrot(xor(ops["b"], c1), 12)):
+            builder.assert_zero(b1[i] - want)
+        add_constraints("a2", "ca2", [a1, b1, ops["my"]])
+        for i, want in enumerate(rrot(xor(d1, a2), 8)):
+            builder.assert_zero(d2[i] - want)
+        add_constraints("c2", "cc2", [c1, d2])
+        for i, want in enumerate(rrot(xor(b1, c2), 7)):
+            builder.assert_zero(b2[i] - want)
+
+        g_out = {"a": a2, "b": b2, "c": c2, "d": d2}
+        boundary = sel[63]
+
+        # v transition: G writes within a block; reset to the init constants
+        # at block boundaries
+        writers = {i: [] for i in range(16)}
+        for p in range(N_G):
+            abcd = SCHEDULE[p][0]
+            for slot_i, slot in enumerate(("a", "b", "c", "d")):
+                writers[abcd[slot_i]].append((p, slot))
+        for i in range(16):
+            for bit in range(32):
+                delta = None
+                for p, slot in writers[i]:
+                    term = sel[p] * (g_out[slot][bit] - state[i][bit])
+                    delta = term if delta is None else delta + term
+                expected = state[i][bit] + delta
+                init_bit = (_INIT_STATE[i] >> bit) & 1
+                transition.assert_zero(
+                    (1 - boundary) * (state_next[i][bit] - expected)
+                    + boundary * (state_next[i][bit] - init_bit)
+                )
+
+        # message: copied within a block; at the boundary the capacity half
+        # becomes this block's digest and the rate half is fresh witness
+        for i in range(16):
+            for bit in range(32):
+                if i < 8:
+                    transition.assert_zero(
+                        (1 - boundary) * (msg_next[i][bit] - msg[i][bit])
+                    )
+                else:
+                    h_bit = (
+                        state[i - 8][bit]
+                        + state[i][bit]
+                        - state[i - 8][bit] * state[i][bit] * 2
+                    )
+                    transition.assert_zero(
+                        (1 - boundary) * (msg_next[i][bit] - msg[i][bit])
+                        + boundary * (msg_next[i][bit] - h_bit)
+                    )
+
+        # first row: v = init constants, zero initial capacity
+        for i in range(16):
+            for bit in range(32):
+                first.assert_eq(state[i][bit], (_INIT_STATE[i] >> bit) & 1)
+        for i in range(8, 16):
+            for bit in range(32):
+                first.assert_eq(msg[i][bit], 0)
+
+        # final digest binding
+        last = builder.when_last_row()
+        for i in range(8):
+            h = xor(state[i], state[i + 8])
+            last.assert_eq(_limb(h, 0), pis[2 * i])
+            last.assert_eq(_limb(h, 16), pis[2 * i + 1])
+
+
+def generate_blake3_sponge_trace(observed_blocks: list[list[int]]):
+    """Trace for a chain of duplex-sponge permutations.
+
+    observed_blocks[b] = up to 8 u32 rate words absorbed before permutation b
+    (zero-padded; the message's capacity half carries the previous
+    permutation's digest — exactly BfChallenger._duplexing). Returns
+    (trace, pis, final_digest_words)."""
+    k = len(observed_blocks)
+    rows = np.zeros((ROWS * k, NUM_COLS), dtype=np.uint32)
+    M32 = 0xFFFFFFFF
+
+    def put_bits(r, name, v, width=32):
+        o = OFFSETS[name]
+        for i in range(width):
+            rows[r, o + i] = (v >> i) & 1
+
+    def rr(v, n):
+        return ((v >> n) | (v << (32 - n))) & M32
+
+    cap = [0] * 8
+    digest = None
+    for blk, observed in enumerate(observed_blocks):
+        obs = [w & M32 for w in observed] + [0] * (8 - len(observed))
+        m_words = obs + list(cap)  # the sponge state IS the message
+        state = list(_INIT_STATE)
+        base = blk * ROWS
+        for rr_i in range(ROWS):
+            r = base + rr_i
+            rows[r, OFFSETS["sel"] + rr_i] = 1
+            for i in range(16):
+                put_bits(r, f"v{i}", state[i])
+                put_bits(r, f"m{i}", m_words[i])
+            if rr_i < N_G:
+                (ia, ib, ic, idd), (imx, imy) = SCHEDULE[rr_i]
+                a, b, c, d = state[ia], state[ib], state[ic], state[idd]
+                mx, my = m_words[imx], m_words[imy]
+                put_bits(r, "op_a", a)
+                put_bits(r, "op_b", b)
+                put_bits(r, "op_c", c)
+                put_bits(r, "op_d", d)
+                put_bits(r, "op_mx", mx)
+                put_bits(r, "op_my", my)
+
+                def add3(x, y, z, out_name, carry_name):
+                    s_lo = (x & 0xFFFF) + (y & 0xFFFF) + (z & 0xFFFF)
+                    car_lo = s_lo >> 16
+                    s_hi = (x >> 16) + (y >> 16) + (z >> 16) + car_lo
+                    car_hi = s_hi >> 16
+                    res = (x + y + z) & M32
+                    put_bits(r, out_name, res)
+                    ncar = _SIZES[carry_name] // 2
+                    put_bits(
+                        r, carry_name, car_lo | (car_hi << ncar), _SIZES[carry_name]
+                    )
+                    return res
+
+                a1 = add3(a, b, mx, "a1", "ca1")
+                d1v = rr(d ^ a1, 16)
+                put_bits(r, "d1", d1v)
+                c1 = add3(c, d1v, 0, "c1", "cc1")
+                b1v = rr(b ^ c1, 12)
+                put_bits(r, "b1", b1v)
+                a2 = add3(a1, b1v, my, "a2", "ca2")
+                d2v = rr(d1v ^ a2, 8)
+                put_bits(r, "d2", d2v)
+                c2 = add3(c1, d2v, 0, "c2", "cc2")
+                b2v = rr(b1v ^ c2, 7)
+                put_bits(r, "b2", b2v)
+                state[ia], state[ib], state[ic], state[idd] = a2, b2v, c2, d2v
+
+        digest = [state[i] ^ state[i + 8] for i in range(8)]
+        cap = list(digest)
+
+    pis = []
+    for w in digest:
+        pis += [w & 0xFFFF, w >> 16]
+    return rows, [int(x) for x in pis], digest

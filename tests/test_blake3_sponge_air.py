@@ -1,0 +1,63 @@
+"""Blake3 sponge-chain AIR: the chained permutations must match the
+Fiat-Shamir challenger's duplex sponge exactly, constraints hold, and
+breaking the capacity carry between blocks is detected."""
+
+import numpy as np
+import pytest
+
+from tapstark.airs.blake3_compression import (
+    OFFSETS,
+    Blake3SpongeChainAir,
+    generate_blake3_sponge_trace,
+)
+from tapstark.air.symbolic import get_log_quotient_degree
+from tapstark.challenger import BfChallenger
+from tapstark.field import F
+from tapstark.stark import check_constraints
+
+
+def test_sponge_chain_matches_challenger():
+    blocks = [[3, 1, 4, 1, 5, 9, 2, 6], [27, 18, 28, 18, 0, 0, 0, 0], [7] * 8]
+    trace, pis, digest = generate_blake3_sponge_trace(blocks)
+
+    # cross-check against the real challenger sponge
+    ch = BfChallenger()
+    for blk in blocks:
+        ch.observe_u32s(blk)
+    assert digest == ch.sponge_state[8:]
+
+    air = Blake3SpongeChainAir()
+    assert get_log_quotient_degree(air, len(pis)) == 1
+    check_constraints(air, trace, [F(x) for x in pis])
+
+
+def test_sponge_chain_tamper_detection():
+    blocks = [[1, 2, 3, 4, 5, 6, 7, 8], [9, 10, 11, 12, 13, 14, 15, 16]]
+    trace, pis, _ = generate_blake3_sponge_trace(blocks)
+    air = Blake3SpongeChainAir()
+    pis_f = [F(x) for x in pis]
+    check_constraints(air, trace, pis_f)
+
+    # break the capacity carry into block 2 (state word 8, row 64)
+    bad = trace.copy()
+    bad[64, OFFSETS["v8"] + 2] ^= 1
+    with pytest.raises(AssertionError):
+        check_constraints(air, bad, pis_f)
+
+    # sponge must hash its own state: message != state on a block first row
+    bad2 = trace.copy()
+    bad2[64 : 128, OFFSETS["m3"] + 5] ^= 1
+    with pytest.raises(AssertionError):
+        check_constraints(air, bad2, pis_f)
+
+    # nonzero initial capacity
+    bad3 = trace.copy()
+    bad3[0, OFFSETS["v12"]] ^= 1
+    with pytest.raises(AssertionError):
+        check_constraints(air, bad3, pis_f)
+
+    # wrong final digest
+    bad_pis = list(pis_f)
+    bad_pis[0] = bad_pis[0] + F(1)
+    with pytest.raises(AssertionError):
+        check_constraints(air, trace, bad_pis)
