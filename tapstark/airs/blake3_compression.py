@@ -24,9 +24,10 @@ constraints), selected in-circuit by a rotating one-hot position register:
   output (is_last)      public values = half-words of v_i ^ v_{i+8}
                         (the 32-byte compression digest)
 
-Public values (80): 32 half-words of m0..m15 then 16 half-words of the
-digest words h0..h7, then 32 spare zeros are NOT included — exactly 48.
-Constraint degree <= 3 (is_last x xor) -> two quotient chunks.
+Public values (48): 32 half-words of m0..m15 then 16 half-words of the
+digest words h0..h7. Constraint degree <= 3 (is_last x xor) -> two quotient
+chunks. Blake3SpongeChainAir below chains k permutations (the challenger's
+duplex sponge) in one trace of 64k rows.
 """
 
 from __future__ import annotations
