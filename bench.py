@@ -56,7 +56,18 @@ def _numpy_ntt_butterfly_cost(log_n: int = 14) -> float:
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # Persistent compilation cache: remote-TPU compiles dominate wall-clock
+    # (minutes); cached re-runs skip them entirely.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     from tapstark.field.constants import P
