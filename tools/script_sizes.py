@@ -1,0 +1,82 @@
+"""Regenerate the SCRIPT_SIZES.md table rows.
+
+Proves the Fibonacci AIR at the reference's published configurations
+(/root/reference/README.md:94-100) and reports the emitted Bitcoin-script
+verifier segment sizes. "comparable" = FRI query scripts + trace-constraint
+script + quotient script (the segments the reference's totals cover); the
+challenger segment is reported separately (see SCRIPT_SIZES.md preamble).
+
+Usage: python tools/script_sizes.py [log_n:log_blowup:nq ...]
+  default: 3:2:28 3:2:16 3:4:16 4:2:16 5:2:16
+  the BASELINE 2^10/2^11 rows: 10:2:16 11:2:16
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def row(log_n: int, log_blowup: int, nq: int) -> dict:
+    from tapstark.airs import FibonacciAir, generate_fibonacci_trace
+    from tapstark.challenger import BfChallenger
+    from tapstark.commit import BcManager, TapTreeMmcs
+    from tapstark.field import F
+    from tapstark.fri import FriConfig, TwoAdicFriPcs
+    from tapstark.stark import prove
+    from tapstark.stark.script_verifier import generate_script_verifier
+
+    fri_cfg = FriConfig(
+        log_blowup=log_blowup,
+        num_queries=nq,
+        proof_of_work_bits=8,
+        mmcs=TapTreeMmcs(BcManager(), nq, ext=True),
+    )
+    pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri_cfg)
+    trace = generate_fibonacci_trace(0, 1, 1 << log_n)
+    pis = [F(0), F(1), F(int(trace[-1, 1]))]
+    air = FibonacciAir()
+    proof = prove(pcs, air, BfChallenger(), trace, pis)
+    t0 = time.perf_counter()
+    report = generate_script_verifier(pcs, air, BfChallenger(), proof, pis)
+    gen_s = time.perf_counter() - t0
+
+    seg = report.segment_script_bytes
+    fri_q = [v for k, v in seg.items() if "fri-pcs-verify" in k]
+    constraints = seg["trace-constraints"]
+    quotient = seg["compute-quotient"]
+    challenger = seg["challenger"]
+    # table convention (matches the reference README's "28 x 428 KB"):
+    # nq * avg-per-query, even when coinciding query indices dedupe segments
+    avg_q = sum(fri_q) / len(fri_q)
+    comparable = nq * avg_q + constraints + quotient
+    return {
+        "config": f"2^{log_n} rows, blowup 2^{log_blowup}, {nq} q",
+        "comparable_total_kb": round(comparable / 1024),
+        "distinct_query_segments": len(fri_q),
+        "fri_per_query_kb": round(sum(fri_q) / len(fri_q) / 1024),
+        "constraints_kb": round(constraints / 1024),
+        "quotient_kb": round(quotient / 1024),
+        "u32": report.distinct_u32_count,
+        "challenger_kb": round(challenger / 1024),
+        "gen_s": round(gen_s, 1),
+    }
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    configs = sys.argv[1:] or ["3:2:28", "3:2:16", "3:4:16", "4:2:16", "5:2:16"]
+    for c in configs:
+        log_n, log_blowup, nq = (int(x) for x in c.split(":"))
+        print(json.dumps(row(log_n, log_blowup, nq)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
