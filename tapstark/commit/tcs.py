@@ -122,11 +122,14 @@ def _leaf_script_from_row(
 class NativeTaptree:
     """Taptree built by the native engine; leaf scripts rebuilt on demand."""
 
-    def __init__(self, leaf_hashes, root, branches, perm, script_fn):
+    def __init__(self, leaf_hashes, root, levels, perm, script_fn):
         self._leaf_hashes = leaf_hashes
         self.root_hash = root
-        self._branches = branches
-        self.leaf_indices = [int(x) for x in perm]
+        # internal level hash arrays L_1..L_{depth-1}; L_0 = leaf_hashes.
+        # Branch of leaf i = [L_l[(i >> l) ^ 1] for l in 0..depth-1]
+        # (sibling reordering never moves the hash arrays, only perm).
+        self._levels = levels
+        self.leaf_indices = perm.tolist()
         self._script_fn = script_fn
 
     def root_words(self) -> list[int]:
@@ -139,13 +142,16 @@ class NativeTaptree:
         return len(self.leaf_indices)
 
     def get_tapleaf(self, logical_index: int) -> LeafNode:
+        i = logical_index
+        branch = [bytes(self._leaf_hashes[i ^ 1])] if self._levels or len(
+            self._leaf_hashes
+        ) > 1 else []
+        for l, lvl_hashes in enumerate(self._levels, start=1):
+            branch.append(bytes(lvl_hashes[(i >> l) ^ 1]))
         return LeafNode(
-            script=self._script_fn(logical_index),
-            leaf_hash=bytes(self._leaf_hashes[logical_index]),
-            merkle_branch=[
-                bytes(self._branches[logical_index, l])
-                for l in range(self._branches.shape[1])
-            ],
+            script=self._script_fn(i),
+            leaf_hash=bytes(self._leaf_hashes[i]),
+            merkle_branch=branch,
         )
 
 
@@ -205,14 +211,14 @@ class TCS:
         from .. import native
 
         if native.get_lib() is not None:
-            leaf_hashes, root, branches, perm = native.tcs_commit_native(
+            leaf_hashes, root, levels, perm = native.tcs_commit_native(
                 index_lock,
                 eval_locks,
                 values_np,
                 sha256(b"TapLeaf"),
                 sha256(b"TapBranch"),
             )
-            tree = NativeTaptree(leaf_hashes, root, branches, perm, script_fn)
+            tree = NativeTaptree(leaf_hashes, root, levels, perm, script_fn)
         else:
             scripts = [script_fn(i) for i in range(num_leaves)]
             tree = build_taptree(scripts)

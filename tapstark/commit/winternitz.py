@@ -8,6 +8,8 @@ N0=8 message digits per u32, N1=2 checksum digits, hash160 chains of length
 
 from __future__ import annotations
 
+import functools
+
 from ..hashes.ripemd160 import hash160
 from ..script import opcodes as op
 from ..script.builder import ScriptBuilder
@@ -27,6 +29,49 @@ def to_digits(number: int, digit_count: int) -> list[int]:
 def checksum(message_digits: list[int]) -> int:
     assert len(message_digits) == N0
     return DIGITS * N0 - sum(message_digits)
+
+
+@functools.lru_cache(maxsize=None)
+def _checksig_segments() -> tuple[bytes, ...]:
+    """The N+1 static byte segments of checksig_verify around the N pubkey
+    pushes (segment i+1 starts right after digit i's pubkey)."""
+    segs = []
+    sb = ScriptBuilder()
+    for _digit in range(N):
+        sb.num(DIGITS).emit(op.OP_MIN)
+        sb.emit(op.OP_DUP, op.OP_TOALTSTACK, op.OP_TOALTSTACK)
+        for _ in range(DIGITS):
+            sb.emit(op.OP_DUP, op.OP_HASH160)
+        sb.emit(op.OP_FROMALTSTACK, op.OP_PICK)
+        segs.append(sb.build())  # pubkey push splices here
+        sb = ScriptBuilder()
+        sb.emit(op.OP_EQUALVERIFY)
+        for _ in range((DIGITS + 1) // 2):
+            sb.emit(op.OP_2DROP)
+    # checksum of the message digits
+    sb.emit(op.OP_FROMALTSTACK, op.OP_DUP, op.OP_NEGATE)
+    for _ in range(1, N0):
+        sb.emit(op.OP_FROMALTSTACK, op.OP_TUCK, op.OP_SUB)
+    sb.num(DIGITS * N0).emit(op.OP_ADD)
+    # sum the signed checksum digits
+    sb.emit(op.OP_FROMALTSTACK)
+    for _ in range(N1 - 1):
+        for _ in range(LOG_D):
+            sb.emit(op.OP_DUP, op.OP_ADD)
+        sb.emit(op.OP_FROMALTSTACK, op.OP_ADD)
+    sb.emit(op.OP_EQUALVERIFY)
+    # pack digit pairs into bytes; leave [b3, b2, b1, b0(top)]
+    for i in range(N0 // 2):
+        sb.emit(op.OP_SWAP)
+        for _ in range(LOG_D):
+            sb.emit(op.OP_DUP, op.OP_ADD)
+        sb.emit(op.OP_ADD)
+        if i != N0 // 2 - 1:
+            sb.emit(op.OP_TOALTSTACK)
+    for _ in range(N0 // 2 - 1):
+        sb.emit(op.OP_FROMALTSTACK)
+    segs.append(sb.build())
+    return tuple(segs)
 
 
 class Winternitz:
@@ -74,41 +119,18 @@ class Winternitz:
 
     def checksig_verify(self) -> ScriptBuilder:
         """Verify N digit signatures (witness on stack), recompute+check the
-        checksum, and leave the 4 message bytes on the stack (LSB on top)."""
-        sb = ScriptBuilder()
-        for digit_index in range(N):
-            sb.num(DIGITS).emit(op.OP_MIN)
-            sb.emit(op.OP_DUP, op.OP_TOALTSTACK, op.OP_TOALTSTACK)
-            for _ in range(DIGITS):
-                sb.emit(op.OP_DUP, op.OP_HASH160)
-            sb.emit(op.OP_FROMALTSTACK, op.OP_PICK)
-            sb.data(self.pub_key[N - 1 - digit_index])
-            sb.emit(op.OP_EQUALVERIFY)
-            for _ in range((DIGITS + 1) // 2):
-                sb.emit(op.OP_2DROP)
-        # checksum of the message digits
-        sb.emit(op.OP_FROMALTSTACK, op.OP_DUP, op.OP_NEGATE)
-        for _ in range(1, N0):
-            sb.emit(op.OP_FROMALTSTACK, op.OP_TUCK, op.OP_SUB)
-        sb.num(DIGITS * N0).emit(op.OP_ADD)
-        # sum the signed checksum digits
-        sb.emit(op.OP_FROMALTSTACK)
-        for _ in range(N1 - 1):
-            for _ in range(LOG_D):
-                sb.emit(op.OP_DUP, op.OP_ADD)
-            sb.emit(op.OP_FROMALTSTACK, op.OP_ADD)
-        sb.emit(op.OP_EQUALVERIFY)
-        # pack digit pairs into bytes; leave [b3, b2, b1, b0(top)]
-        for i in range(N0 // 2):
-            sb.emit(op.OP_SWAP)
-            for _ in range(LOG_D):
-                sb.emit(op.OP_DUP, op.OP_ADD)
-            sb.emit(op.OP_ADD)
-            if i != N0 // 2 - 1:
-                sb.emit(op.OP_TOALTSTACK)
-        for _ in range(N0 // 2 - 1):
-            sb.emit(op.OP_FROMALTSTACK)
-        return sb
+        checksum, and leave the 4 message bytes on the stack (LSB on top).
+
+        Only the N pubkey pushes vary between keypairs; the surrounding
+        opcode stream is built once (_checksig_segments) and spliced —
+        this runs per value-slot per query repetition in every commit."""
+        segs = _checksig_segments()
+        parts = [segs[0]]
+        for i in range(N):
+            pk = self.pub_key[N - 1 - i]
+            parts.append(bytes([len(pk)]) + pk)
+            parts.append(segs[i + 1])
+        return ScriptBuilder(b"".join(parts))
 
 
 def u32_compress() -> ScriptBuilder:

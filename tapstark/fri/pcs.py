@@ -80,6 +80,16 @@ def _reduce_rows_step(mat, alpha_pows, offset, reduced_ys, inv_denoms, ro):
 
 
 @jax.jit
+def _inv_denoms_jit(xs_dev, z_mont):
+    """(z - x)^{-1} batched: denom = x - z over the coset prefix; the p-2
+    inverse pow-chain fuses under jit instead of dispatching ~40 eager ops."""
+    n = xs_dev.shape[0]
+    neg_z = ef_neg(jnp.broadcast_to(z_mont, (n, 4)))
+    denom = neg_z.at[:, 0].set(fp_add(neg_z[:, 0], xs_dev))
+    return ef_inv(denom)
+
+
+@jax.jit
 def _dot_ys(ys, alpha_pows):
     """sum_i alpha^i * ys_i over (w, 4) ext arrays -> (4,)."""
     return fp_sum_axis0(ef_mul(ys, alpha_pows))
@@ -257,11 +267,7 @@ class TwoAdicFriPcs:
         out = {}
         for z, log_height in max_log_height_for_point.items():
             n = 1 << log_height
-            zc = ef_const(z)
-            neg_z = ef_neg(jnp.broadcast_to(zc, (n, 4)))
-            # denom = x - z (two_adic_pcs.rs:714: EF::from_base(x) - z)
-            denom = neg_z.at[:, 0].set(fp_add(neg_z[:, 0], xs_dev[:n]))
-            out[z] = ef_inv(denom)
+            out[z] = _inv_denoms_jit(xs_dev[:n], ef_const(z))
         return out
 
     # -- verify ------------------------------------------------------------

@@ -109,8 +109,14 @@ def tcs_commit_native(
     tapbranch_tag_digest: bytes,
     leaf_version: int = 0xC0,
 ):
-    """Returns (leaf_hashes (n,32) u8, root bytes, branches (n,depth,32) u8,
-    perm (n,) u32)."""
+    """Returns (leaf_hashes (n,32) u8, root bytes, levels, perm (n,) u32).
+
+    `levels` is the list of internal level hash arrays [L_1, ..., L_{depth-1}]
+    ((n>>l, 32) u8 each). Leaf i's merkle branch is L_l[(i >> l) ^ 1] for
+    l in 0..depth-1 with L_0 = leaf_hashes: sibling reordering during the
+    ordered tree build swaps only the leaf-position bookkeeping (perm),
+    never the level hash arrays — so branches need no storage of their own
+    (the old (n, depth, 32) output dominated commit memory traffic)."""
     lib = get_lib()
     assert lib is not None
     num_leaves, num_values, num_limbs = values.shape
@@ -121,7 +127,8 @@ def tcs_commit_native(
     vals = np.ascontiguousarray(values, dtype=np.uint32)
     leaf_hashes = np.empty((num_leaves, 32), dtype=np.uint8)
     root = np.empty(32, dtype=np.uint8)
-    branches = np.empty((num_leaves, depth, 32), dtype=np.uint8)
+    n_internal = sum(num_leaves >> l for l in range(1, depth))
+    levels_flat = np.empty((n_internal, 32), dtype=np.uint8)
     perm = np.empty(num_leaves, dtype=np.uint32)
     lib.tcs_commit(
         index_lock,
@@ -137,7 +144,13 @@ def tcs_commit_native(
         leaf_version,
         leaf_hashes.ctypes.data,
         root.ctypes.data,
-        branches.ctypes.data,
+        levels_flat.ctypes.data,
         perm.ctypes.data,
     )
-    return leaf_hashes, bytes(root), branches, perm
+    levels = []
+    off = 0
+    for l in range(1, depth):
+        sz = num_leaves >> l
+        levels.append(levels_flat[off : off + sz])
+        off += sz
+    return leaf_hashes, bytes(root), levels, perm

@@ -15,6 +15,11 @@
 
 #if defined(__SHA__) && defined(__SSE4_1__)
 #define TAPSTARK_SHA_NI 1
+#endif
+#if defined(__AVX2__)
+#define TAPSTARK_AVX2 1
+#endif
+#if defined(TAPSTARK_SHA_NI) || defined(TAPSTARK_AVX2)
 #include <immintrin.h>
 #endif
 
@@ -87,7 +92,98 @@ static void block_ni(uint32_t h[8], const uint8_t* p) {
   _mm_storeu_si128((__m128i*)&h[0], st0);
   _mm_storeu_si128((__m128i*)&h[4], st1);
 }
+
+// Two interleaved one-block compressions. sha256rnds2 is latency-bound on a
+// single stream (each round depends on the previous); running two
+// independent streams in lockstep nearly doubles block throughput.
+static void block_ni2(uint32_t ha[8], uint32_t hb[8], const uint8_t* pa,
+                      const uint8_t* pb) {
+  const __m128i MASK =
+      _mm_set_epi64x(0x0c0d0e0f08090a0bULL, 0x0405060700010203ULL);
+  __m128i ta = _mm_loadu_si128((const __m128i*)&ha[0]);
+  __m128i a1 = _mm_loadu_si128((const __m128i*)&ha[4]);
+  ta = _mm_shuffle_epi32(ta, 0xB1);
+  a1 = _mm_shuffle_epi32(a1, 0x1B);
+  __m128i a0 = _mm_alignr_epi8(ta, a1, 8);
+  a1 = _mm_blend_epi16(a1, ta, 0xF0);
+  const __m128i a0s = a0, a1s = a1;
+
+  __m128i tb = _mm_loadu_si128((const __m128i*)&hb[0]);
+  __m128i b1 = _mm_loadu_si128((const __m128i*)&hb[4]);
+  tb = _mm_shuffle_epi32(tb, 0xB1);
+  b1 = _mm_shuffle_epi32(b1, 0x1B);
+  __m128i b0 = _mm_alignr_epi8(tb, b1, 8);
+  b1 = _mm_blend_epi16(b1, tb, 0xF0);
+  const __m128i b0s = b0, b1s = b1;
+
+  __m128i ma[4], mb[4];
+  for (int j = 0; j < 4; j++) {
+    ma[j] = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(pa + 16 * j)),
+                             MASK);
+    mb[j] = _mm_shuffle_epi8(_mm_loadu_si128((const __m128i*)(pb + 16 * j)),
+                             MASK);
+  }
+
+  for (int g = 0; g < 16; g++) {
+    const __m128i kk = _mm_loadu_si128((const __m128i*)&K[4 * g]);
+    __m128i wka = _mm_add_epi32(ma[g & 3], kk);
+    __m128i wkb = _mm_add_epi32(mb[g & 3], kk);
+    a1 = _mm_sha256rnds2_epu32(a1, a0, wka);
+    b1 = _mm_sha256rnds2_epu32(b1, b0, wkb);
+    wka = _mm_shuffle_epi32(wka, 0x0E);
+    wkb = _mm_shuffle_epi32(wkb, 0x0E);
+    a0 = _mm_sha256rnds2_epu32(a0, a1, wka);
+    b0 = _mm_sha256rnds2_epu32(b0, b1, wkb);
+    if (g >= 1 && g <= 2) {
+      ma[g - 1] = _mm_sha256msg1_epu32(ma[g - 1], ma[g]);
+      mb[g - 1] = _mm_sha256msg1_epu32(mb[g - 1], mb[g]);
+    } else if (g >= 3 && g <= 14) {
+      int cur = g & 3, prv = (g + 3) & 3, nxt = (g + 1) & 3;
+      __m128i t = _mm_alignr_epi8(ma[cur], ma[prv], 4);
+      ma[nxt] = _mm_sha256msg2_epu32(_mm_add_epi32(ma[nxt], t), ma[cur]);
+      ma[prv] = _mm_sha256msg1_epu32(ma[prv], ma[cur]);
+      t = _mm_alignr_epi8(mb[cur], mb[prv], 4);
+      mb[nxt] = _mm_sha256msg2_epu32(_mm_add_epi32(mb[nxt], t), mb[cur]);
+      mb[prv] = _mm_sha256msg1_epu32(mb[prv], mb[cur]);
+    }
+  }
+
+  a0 = _mm_add_epi32(a0, a0s);
+  a1 = _mm_add_epi32(a1, a1s);
+  b0 = _mm_add_epi32(b0, b0s);
+  b1 = _mm_add_epi32(b1, b1s);
+
+  ta = _mm_shuffle_epi32(a0, 0x1B);
+  a1 = _mm_shuffle_epi32(a1, 0xB1);
+  a0 = _mm_blend_epi16(ta, a1, 0xF0);
+  a1 = _mm_alignr_epi8(a1, ta, 8);
+  _mm_storeu_si128((__m128i*)&ha[0], a0);
+  _mm_storeu_si128((__m128i*)&ha[4], a1);
+
+  tb = _mm_shuffle_epi32(b0, 0x1B);
+  b1 = _mm_shuffle_epi32(b1, 0xB1);
+  b0 = _mm_blend_epi16(tb, b1, 0xF0);
+  b1 = _mm_alignr_epi8(b1, tb, 8);
+  _mm_storeu_si128((__m128i*)&hb[0], b0);
+  _mm_storeu_si128((__m128i*)&hb[4], b1);
+}
 #endif  // TAPSTARK_SHA_NI
+
+static const uint32_t INIT[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372,
+                                 0xa54ff53a, 0x510e527f, 0x9b05688c,
+                                 0x1f83d9ab, 0x5be0cd19};
+
+static void block_generic(uint32_t h[8], const uint8_t* p);
+
+// one-block compression dispatch (free function: midstate-based paths below
+// run compressions without a Ctx)
+static inline void sha_block(uint32_t h[8], const uint8_t* p) {
+#ifdef TAPSTARK_SHA_NI
+  block_ni(h, p);
+#else
+  block_generic(h, p);
+#endif
+}
 
 struct Ctx {
   uint32_t h[8];
@@ -95,46 +191,9 @@ struct Ctx {
   uint8_t buf[64];
   size_t buflen = 0;
 
-  Ctx() {
-    static const uint32_t init[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372,
-                                     0xa54ff53a, 0x510e527f, 0x9b05688c,
-                                     0x1f83d9ab, 0x5be0cd19};
-    memcpy(h, init, sizeof(h));
-  }
+  Ctx() { memcpy(h, INIT, sizeof(h)); }
 
-  void block(const uint8_t* p) {
-#ifdef TAPSTARK_SHA_NI
-    block_ni(h, p);
-    return;
-#endif
-    block_generic(p);
-  }
-
-  void block_generic(const uint8_t* p) {
-    uint32_t w[64];
-    for (int i = 0; i < 16; i++)
-      w[i] = (uint32_t(p[4 * i]) << 24) | (uint32_t(p[4 * i + 1]) << 16) |
-             (uint32_t(p[4 * i + 2]) << 8) | uint32_t(p[4 * i + 3]);
-    for (int i = 16; i < 64; i++) {
-      uint32_t s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3);
-      uint32_t s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10);
-      w[i] = w[i - 16] + s0 + w[i - 7] + s1;
-    }
-    uint32_t a = h[0], b = h[1], c = h[2], d = h[3], e = h[4], f = h[5],
-             g = h[6], hh = h[7];
-    for (int i = 0; i < 64; i++) {
-      uint32_t S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25);
-      uint32_t ch = (e & f) ^ (~e & g);
-      uint32_t t1 = hh + S1 + ch + K[i] + w[i];
-      uint32_t S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22);
-      uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
-      uint32_t t2 = S0 + maj;
-      hh = g; g = f; f = e; e = d + t1;
-      d = c; c = b; b = a; a = t1 + t2;
-    }
-    h[0] += a; h[1] += b; h[2] += c; h[3] += d;
-    h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
-  }
+  void block(const uint8_t* p) { sha_block(h, p); }
 
   void update(const uint8_t* p, size_t n) {
     len += n;
@@ -168,6 +227,53 @@ struct Ctx {
     }
   }
 };
+
+static void block_generic(uint32_t h[8], const uint8_t* p) {
+    uint32_t w[64];
+    for (int i = 0; i < 16; i++)
+      w[i] = (uint32_t(p[4 * i]) << 24) | (uint32_t(p[4 * i + 1]) << 16) |
+             (uint32_t(p[4 * i + 2]) << 8) | uint32_t(p[4 * i + 3]);
+    for (int i = 16; i < 64; i++) {
+      uint32_t s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3);
+      uint32_t s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10);
+      w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+    }
+    uint32_t a = h[0], b = h[1], c = h[2], d = h[3], e = h[4], f = h[5],
+             g = h[6], hh = h[7];
+    for (int i = 0; i < 64; i++) {
+      uint32_t S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25);
+      uint32_t ch = (e & f) ^ (~e & g);
+      uint32_t t1 = hh + S1 + ch + K[i] + w[i];
+      uint32_t S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22);
+      uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+      uint32_t t2 = S0 + maj;
+      hh = g; g = f; f = e; e = d + t1;
+      d = c; c = b; b = a; a = t1 + t2;
+    }
+    h[0] += a; h[1] += b; h[2] += c; h[3] += d;
+    h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
+}
+
+// Two-stream one-block compression (SHA-NI interleave when available).
+static inline void sha_block2(uint32_t ha[8], uint32_t hb[8],
+                              const uint8_t* pa, const uint8_t* pb) {
+#ifdef TAPSTARK_SHA_NI
+  block_ni2(ha, hb, pa, pb);
+#else
+  block_generic(ha, pa);
+  block_generic(hb, pb);
+#endif
+}
+
+// digest (big-endian words) from a state
+static inline void sha_digest(const uint32_t h[8], uint8_t out[32]) {
+  for (int i = 0; i < 8; i++) {
+    out[4 * i] = uint8_t(h[i] >> 24);
+    out[4 * i + 1] = uint8_t(h[i] >> 16);
+    out[4 * i + 2] = uint8_t(h[i] >> 8);
+    out[4 * i + 3] = uint8_t(h[i]);
+  }
+}
 
 static void hash(const uint8_t* p, size_t n, uint8_t out[32]) {
   Ctx c;
@@ -270,6 +376,84 @@ static void hash(const uint8_t* p, size_t n, uint8_t out[20]) {
   }
 }
 
+#ifdef TAPSTARK_AVX2
+// Eight-lane RIPEMD-160 of 32-byte messages (one padded block per lane) —
+// exactly the inner step of hash160. The scalar compression is ILP-limited
+// (~2 ops/cycle across the two lines); eight lanes in AVX2 registers run the
+// same rounds at ~8x block throughput.
+static inline __m256i vrol(__m256i x, int n) {
+  return _mm256_or_si256(_mm256_slli_epi32(x, n), _mm256_srli_epi32(x, 32 - n));
+}
+
+static inline __m256i vf(__m256i x, __m256i y, __m256i z, int i) {
+  const __m256i ones = _mm256_set1_epi32(-1);
+  switch (i) {
+    case 0: return _mm256_xor_si256(_mm256_xor_si256(x, y), z);
+    case 1:  // (x&y)|(~x&z) == ((y^z)&x)^z
+      return _mm256_xor_si256(_mm256_and_si256(_mm256_xor_si256(y, z), x), z);
+    case 2:  // (x|~y)^z
+      return _mm256_xor_si256(
+          _mm256_or_si256(x, _mm256_xor_si256(y, ones)), z);
+    case 3:  // (x&z)|(y&~z) == ((x^y)&z)^y
+      return _mm256_xor_si256(_mm256_and_si256(_mm256_xor_si256(x, y), z), y);
+    default:  // x^(y|~z)
+      return _mm256_xor_si256(
+          x, _mm256_or_si256(y, _mm256_xor_si256(z, ones)));
+  }
+}
+
+static void rmd_x8_digest32(const uint8_t dig[8][32], uint8_t out[8][20]) {
+  __m256i x[16];
+  // 32-byte message -> padded block: msg words, 0x80 marker, bitlen 256
+  for (int j = 0; j < 8; j++) {
+    uint32_t w[8];
+    for (int l = 0; l < 8; l++) memcpy(&w[l], dig[l] + 4 * j, 4);
+    x[j] = _mm256_set_epi32(w[7], w[6], w[5], w[4], w[3], w[2], w[1], w[0]);
+  }
+  x[8] = _mm256_set1_epi32(0x80);
+  for (int j = 9; j < 14; j++) x[j] = _mm256_setzero_si256();
+  x[14] = _mm256_set1_epi32(256);
+  x[15] = _mm256_setzero_si256();
+
+  const __m256i h0 = _mm256_set1_epi32(0x67452301);
+  const __m256i h1 = _mm256_set1_epi32(0xefcdab89);
+  const __m256i h2 = _mm256_set1_epi32(0x98badcfe);
+  const __m256i h3 = _mm256_set1_epi32(0x10325476);
+  const __m256i h4 = _mm256_set1_epi32(0xc3d2e1f0);
+  __m256i al = h0, bl = h1, cl = h2, dl = h3, el = h4;
+  __m256i ar = h0, br = h1, cr = h2, dr = h3, er = h4;
+
+  for (int i = 0; i < 80; i++) {
+    int rnd = i >> 4;
+    __m256i t = _mm256_add_epi32(
+        _mm256_add_epi32(al, vf(bl, cl, dl, rnd)),
+        _mm256_add_epi32(x[ML[i]], _mm256_set1_epi32(KL[rnd])));
+    t = _mm256_add_epi32(vrol(t, RL[i]), el);
+    al = el; el = dl; dl = vrol(cl, 10); cl = bl; bl = t;
+    t = _mm256_add_epi32(
+        _mm256_add_epi32(ar, vf(br, cr, dr, 4 - rnd)),
+        _mm256_add_epi32(x[MR[i]], _mm256_set1_epi32(KR[rnd])));
+    t = _mm256_add_epi32(vrol(t, RR[i]), er);
+    ar = er; er = dr; dr = vrol(cr, 10); cr = br; br = t;
+  }
+
+  __m256i o0 = _mm256_add_epi32(_mm256_add_epi32(h1, cl), dr);
+  __m256i o1 = _mm256_add_epi32(_mm256_add_epi32(h2, dl), er);
+  __m256i o2 = _mm256_add_epi32(_mm256_add_epi32(h3, el), ar);
+  __m256i o3 = _mm256_add_epi32(_mm256_add_epi32(h4, al), br);
+  __m256i o4 = _mm256_add_epi32(_mm256_add_epi32(h0, bl), cr);
+
+  uint32_t ob[5][8];
+  _mm256_storeu_si256((__m256i*)ob[0], o0);
+  _mm256_storeu_si256((__m256i*)ob[1], o1);
+  _mm256_storeu_si256((__m256i*)ob[2], o2);
+  _mm256_storeu_si256((__m256i*)ob[3], o3);
+  _mm256_storeu_si256((__m256i*)ob[4], o4);
+  for (int l = 0; l < 8; l++)
+    for (int w = 0; w < 5; w++) memcpy(out[l] + 4 * w, &ob[w][l], 4);
+}
+#endif  // TAPSTARK_AVX2
+
 }  // namespace rmd160impl
 
 static void hash160(const uint8_t* p, size_t n, uint8_t out[20]) {
@@ -277,6 +461,21 @@ static void hash160(const uint8_t* p, size_t n, uint8_t out[20]) {
   sha256impl::hash(p, n, s);
   rmd160impl::hash(s, 32, out);
 }
+
+#if defined(TAPSTARK_AVX2)
+// Eight hash160 lanes in lockstep: 4x two-stream sha256 (one padded block
+// per lane) + one 8-lane ripemd160. blocks[l] is lane l's padded 64-byte
+// sha256 block (message + 0x80 + bitlen already in place).
+static void hash160_x8_blocks(const uint8_t blocks[8][64], uint8_t out[8][20]) {
+  uint32_t st[8][8];
+  for (int l = 0; l < 8; l++) memcpy(st[l], sha256impl::INIT, 32);
+  for (int j = 0; j < 8; j += 2)
+    sha256impl::sha_block2(st[j], st[j + 1], blocks[j], blocks[j + 1]);
+  uint8_t dig[8][32];
+  for (int l = 0; l < 8; l++) sha256impl::sha_digest(st[l], dig[l]);
+  rmd160impl::rmd_x8_digest32(dig, out);
+}
+#endif
 
 // ---------------------------------------------------------------------------
 // Script helpers
@@ -314,16 +513,48 @@ extern "C" {
 void winternitz_pubkeys_batch(const uint8_t* secrets, size_t n,
                               size_t secret_len, int num_digits,
                               int chain_extra, uint8_t* out) {
-  std::vector<uint8_t> buf(secret_len + 1);
-  for (size_t i = 0; i < n; i++) {
-    memcpy(buf.data(), secrets + i * secret_len, secret_len);
-    for (int d = 0; d < num_digits; d++) {
-      buf[secret_len] = uint8_t(d);
-      uint8_t h[20];
-      hash160(buf.data(), secret_len + 1, h);
-      for (int k = 0; k < chain_extra; k++) hash160(h, 20, h);
-      memcpy(out + (i * num_digits + d) * 20, h, 20);
+  size_t total = size_t(n) * num_digits;
+  size_t g = 0;
+#if defined(TAPSTARK_AVX2)
+  // chains are independent: run 8 in lockstep (interleaved sha256 + 8-lane
+  // ripemd160); each step's message is <= 55 bytes -> one padded sha block
+  if (secret_len + 1 <= 55) {
+    uint8_t blk[8][64];
+    uint8_t h[8][20];
+    for (; g + 8 <= total; g += 8) {
+      for (int l = 0; l < 8; l++) {
+        size_t chain = g + l;
+        memset(blk[l], 0, 64);
+        memcpy(blk[l], secrets + (chain / num_digits) * secret_len,
+               secret_len);
+        blk[l][secret_len] = uint8_t(chain % num_digits);
+        blk[l][secret_len + 1] = 0x80;
+        uint64_t bits = uint64_t(secret_len + 1) * 8;
+        blk[l][62] = uint8_t(bits >> 8);
+        blk[l][63] = uint8_t(bits);
+      }
+      hash160_x8_blocks(blk, h);
+      for (int k = 0; k < chain_extra; k++) {
+        for (int l = 0; l < 8; l++) {
+          memset(blk[l], 0, 64);
+          memcpy(blk[l], h[l], 20);
+          blk[l][20] = 0x80;
+          blk[l][63] = 160;
+        }
+        hash160_x8_blocks(blk, h);
+      }
+      for (int l = 0; l < 8; l++) memcpy(out + (g + l) * 20, h[l], 20);
     }
+  }
+#endif
+  std::vector<uint8_t> buf(secret_len + 1);
+  for (; g < total; g++) {
+    memcpy(buf.data(), secrets + (g / num_digits) * secret_len, secret_len);
+    buf[secret_len] = uint8_t(g % num_digits);
+    uint8_t h[20];
+    hash160(buf.data(), secret_len + 1, h);
+    for (int k = 0; k < chain_extra; k++) hash160(h, 20, h);
+    memcpy(out + g * 20, h, 20);
   }
 }
 
@@ -346,62 +577,119 @@ void sha256_batch(const uint8_t* data, const uint64_t* offsets, size_t n,
 // tapleaf_tag / tapbranch_tag: 32-byte sha256 digests of the tag strings
 // leaf_version: 0xc0
 // outputs: leaf_hashes (num_leaves*32), root (32),
-//          branches (num_leaves * depth * 32), perm (num_leaves u32:
-//          logical -> physical)
+//          levels (concatenated internal level hashes L_1..L_{depth-1},
+//          sizes n/2 + n/4 + ... + 2, 32 bytes each; leaf i's merkle branch
+//          is [L_l[(i>>l)^1] for l in 0..depth-1] with L_0 = leaf_hashes —
+//          sibling reordering swaps only the leaf-position bookkeeping
+//          (perm), never the level hash arrays),
+//          perm (num_leaves u32: logical -> physical)
 void tcs_commit(const uint8_t* index_lock, uint64_t index_lock_len,
                 const uint8_t* eval_locks, const uint64_t* eval_lock_offsets,
                 uint32_t num_values, const uint32_t* values,
                 uint32_t num_leaves, uint32_t num_limbs,
                 const uint8_t* tapleaf_tag, const uint8_t* tapbranch_tag,
                 uint8_t leaf_version, uint8_t* leaf_hashes, uint8_t* root,
-                uint8_t* branches, uint32_t* perm) {
-  // depth
-  int depth = 0;
-  while ((1u << depth) < num_leaves) depth++;
+                uint8_t* levels, uint32_t* perm) {
 
-  // assemble + hash leaves
+  // assemble + hash leaves. Tapleaf hash = sha256(tag||tag||hdr||script):
+  // tag||tag is exactly one block -> precompute its midstate once; assemble
+  // each leaf's hdr||script straight into a padded block buffer and run two
+  // leaves per loop through the interleaved two-stream compression.
+  uint32_t leafmid[8];
+  memcpy(leafmid, sha256impl::INIT, 32);
+  {
+    uint8_t tagblk[64];
+    memcpy(tagblk, tapleaf_tag, 32);
+    memcpy(tagblk + 32, tapleaf_tag, 32);
+    sha256impl::sha_block(leafmid, tagblk);
+  }
+
   size_t max_script = index_lock_len + 6 +
                       (eval_lock_offsets[num_values] -
                        eval_lock_offsets[0]) +
                       size_t(num_values) * num_limbs * 7 + 8;
-  std::vector<uint8_t> script(max_script);
-  for (uint32_t i = 0; i < num_leaves; i++) {
-    size_t off = 0;
-    memcpy(script.data(), index_lock, index_lock_len);
-    off += index_lock_len;
-    off += push_num(script.data() + off, i);
-    script[off++] = 0x88;  // OP_EQUALVERIFY
+  const size_t locks_total =
+      eval_lock_offsets[num_values] - eval_lock_offsets[0];
+  std::vector<uint8_t> bufa(max_script + 96), bufb(max_script + 96);
+
+  // minimal-push encoded size (incl. opcode) of a value < 2^31
+  auto pn_size = [](uint32_t v) -> size_t {
+    if (v <= 16) return 1;
+    size_t nb = 0;
+    uint8_t last = 0;
+    uint32_t m = v;
+    while (m) { last = uint8_t(m); nb++; m >>= 8; }
+    if (last & 0x80) nb++;
+    return nb + 1;
+  };
+
+  // write hdr||script||sha-padding for leaf i; returns block count
+  auto assemble = [&](uint32_t i, uint8_t* ob) -> size_t {
     const uint32_t* row = values + size_t(i) * num_values * num_limbs;
+    size_t slen = index_lock_len + pn_size(i) + 1 + locks_total + 1;
+    for (uint32_t v = 0; v < num_values * num_limbs; v++)
+      slen += pn_size(row[v]) + 1;
+    size_t off = 0;
+    ob[off++] = leaf_version;
+    if (slen < 0xfd) {
+      ob[off++] = uint8_t(slen);
+    } else if (slen <= 0xffff) {
+      ob[off++] = 0xfd;
+      ob[off++] = uint8_t(slen & 0xff);
+      ob[off++] = uint8_t(slen >> 8);
+    } else {
+      ob[off++] = 0xfe;
+      for (int b = 0; b < 4; b++) ob[off++] = uint8_t(slen >> (8 * b));
+    }
+    memcpy(ob + off, index_lock, index_lock_len);
+    off += index_lock_len;
+    off += push_num(ob + off, i);
+    ob[off++] = 0x88;  // OP_EQUALVERIFY
     for (uint32_t v = 0; v < num_values; v++) {
       uint64_t l0 = eval_lock_offsets[v], l1 = eval_lock_offsets[v + 1];
-      memcpy(script.data() + off, eval_locks + l0, l1 - l0);
+      memcpy(ob + off, eval_locks + l0, l1 - l0);
       off += l1 - l0;
       for (int limb = int(num_limbs) - 1; limb >= 0; limb--) {
-        off += push_num(script.data() + off, row[v * num_limbs + limb]);
-        script[off++] = 0x88;
+        off += push_num(ob + off, row[v * num_limbs + limb]);
+        ob[off++] = 0x88;
       }
     }
-    script[off++] = 0x51;  // OP_1
-    // tapleaf hash: tagged(tag, version || compact_size(len) || script)
-    sha256impl::Ctx c;
-    c.update(tapleaf_tag, 32);
-    c.update(tapleaf_tag, 32);
-    uint8_t hdr[8];
-    size_t hn = 0;
-    hdr[hn++] = leaf_version;
-    if (off < 0xfd) {
-      hdr[hn++] = uint8_t(off);
-    } else if (off <= 0xffff) {
-      hdr[hn++] = 0xfd;
-      hdr[hn++] = uint8_t(off & 0xff);
-      hdr[hn++] = uint8_t(off >> 8);
-    } else {
-      hdr[hn++] = 0xfe;
-      for (int b = 0; b < 4; b++) hdr[hn++] = uint8_t(off >> (8 * b));
-    }
-    c.update(hdr, hn);
-    c.update(script.data(), off);
-    c.final(leaf_hashes + 32 * i);
+    ob[off++] = 0x51;  // OP_1
+    // sha256 padding; bit length includes the 64 tag bytes in the midstate
+    size_t L = off;
+    ob[L] = 0x80;
+    size_t P = ((L + 9 + 63) & ~size_t(63));
+    memset(ob + L + 1, 0, P - L - 1 - 8);
+    uint64_t bits = (uint64_t(64) + L) * 8;
+    for (int b = 0; b < 8; b++) ob[P - 8 + b] = uint8_t(bits >> (56 - 8 * b));
+    return P / 64;
+  };
+
+  uint32_t li = 0;
+  for (; li + 1 < num_leaves; li += 2) {
+    size_t na = assemble(li, bufa.data());
+    size_t nb = assemble(li + 1, bufb.data());
+    uint32_t hA[8], hB[8];
+    memcpy(hA, leafmid, 32);
+    memcpy(hB, leafmid, 32);
+    size_t c = na < nb ? na : nb;
+    for (size_t k = 0; k < c; k++)
+      sha256impl::sha_block2(hA, hB, bufa.data() + 64 * k,
+                             bufb.data() + 64 * k);
+    for (size_t k = c; k < na; k++)
+      sha256impl::sha_block(hA, bufa.data() + 64 * k);
+    for (size_t k = c; k < nb; k++)
+      sha256impl::sha_block(hB, bufb.data() + 64 * k);
+    sha256impl::sha_digest(hA, leaf_hashes + 32 * li);
+    sha256impl::sha_digest(hB, leaf_hashes + 32 * (li + 1));
+  }
+  for (; li < num_leaves; li++) {
+    size_t na = assemble(li, bufa.data());
+    uint32_t hA[8];
+    memcpy(hA, leafmid, 32);
+    for (size_t k = 0; k < na; k++)
+      sha256impl::sha_block(hA, bufa.data() + 64 * k);
+    sha256impl::sha_digest(hA, leaf_hashes + 32 * li);
   }
 
   // tree build with ordered combination
@@ -410,36 +698,42 @@ void tcs_commit(const uint8_t* index_lock, uint64_t index_lock_len,
   std::vector<uint32_t> order(num_leaves);  // physical pos -> leaf id
   for (uint32_t i = 0; i < num_leaves; i++) order[i] = i;
 
+  // branch midstate + the constant second block (message = 128 bytes after
+  // the tag block: two child hashes, then 0x80 padding with bitlen 1024)
+  uint32_t branchmid[8];
+  memcpy(branchmid, sha256impl::INIT, 32);
+  {
+    uint8_t tagblk[64];
+    memcpy(tagblk, tapbranch_tag, 32);
+    memcpy(tagblk + 32, tapbranch_tag, 32);
+    sha256impl::sha_block(branchmid, tagblk);
+  }
+  uint8_t padb[64];
+  memset(padb, 0, 64);
+  padb[0] = 0x80;
+  padb[62] = 0x04;  // bitlen = (64 tag + 64 msg bytes) * 8 = 1024, BE
+
   uint32_t count = num_leaves;
   int lvl = 0;
   std::vector<uint8_t> next;
+  std::vector<uint8_t> pin;
   while (count > 1) {
-    next.assign(size_t(count / 2) * 32, 0);
+    uint32_t parents = count / 2;
+    next.assign(size_t(parents) * 32, 0);
+    pin.resize(size_t(parents) * 64);
     uint32_t block = 1u << lvl;  // leaves per node
     for (uint32_t k = 0; k + 1 < count; k += 2) {
       const uint8_t* ha = level.data() + size_t(k) * 32;
       const uint8_t* hb = level.data() + size_t(k + 1) * 32;
-      // branches: node a's leaves get hb, node b's leaves get ha
-      for (uint32_t j = 0; j < block; j++) {
-        uint32_t la = order[k * block + j];
-        uint32_t lb = order[(k + 1) * block + j];
-        memcpy(branches + (size_t(la) * depth + lvl) * 32, hb, 32);
-        memcpy(branches + (size_t(lb) * depth + lvl) * 32, ha, 32);
-      }
       bool left_first = memcmp(ha, hb, 32) <= 0;
       // parent = tagged(TapBranch, min || max)
-      sha256impl::Ctx c;
-      c.update(tapbranch_tag, 32);
-      c.update(tapbranch_tag, 32);
+      uint8_t* dst = pin.data() + size_t(k / 2) * 64;
       if (left_first) {
-        c.update(ha, 32);
-        c.update(hb, 32);
+        memcpy(dst, ha, 32);
+        memcpy(dst + 32, hb, 32);
       } else {
-        c.update(hb, 32);
-        c.update(ha, 32);
-      }
-      c.final(next.data() + size_t(k / 2) * 32);
-      if (!left_first) {
+        memcpy(dst, hb, 32);
+        memcpy(dst + 32, ha, 32);
         // swap the physical leaf ranges of a and b
         for (uint32_t j = 0; j < block; j++) {
           uint32_t tmp = order[k * block + j];
@@ -448,8 +742,30 @@ void tcs_commit(const uint8_t* index_lock, uint64_t index_lock_len,
         }
       }
     }
+    uint32_t pj = 0;
+    for (; pj + 1 < parents; pj += 2) {
+      uint32_t hJ[8], hK[8];
+      memcpy(hJ, branchmid, 32);
+      memcpy(hK, branchmid, 32);
+      sha256impl::sha_block2(hJ, hK, pin.data() + size_t(pj) * 64,
+                             pin.data() + size_t(pj + 1) * 64);
+      sha256impl::sha_block2(hJ, hK, padb, padb);
+      sha256impl::sha_digest(hJ, next.data() + size_t(pj) * 32);
+      sha256impl::sha_digest(hK, next.data() + size_t(pj + 1) * 32);
+    }
+    for (; pj < parents; pj++) {
+      uint32_t hJ[8];
+      memcpy(hJ, branchmid, 32);
+      sha256impl::sha_block(hJ, pin.data() + size_t(pj) * 64);
+      sha256impl::sha_block(hJ, padb);
+      sha256impl::sha_digest(hJ, next.data() + size_t(pj) * 32);
+    }
+    if (parents > 1) {
+      memcpy(levels, next.data(), size_t(parents) * 32);
+      levels += size_t(parents) * 32;
+    }
     level.swap(next);
-    count /= 2;
+    count = parents;
     lvl++;
   }
   memcpy(root, level.data(), 32);
