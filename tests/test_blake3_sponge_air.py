@@ -61,3 +61,32 @@ def test_sponge_chain_tamper_detection():
     bad_pis[0] = bad_pis[0] + F(1)
     with pytest.raises(AssertionError):
         check_constraints(air, trace, bad_pis)
+
+
+def test_sponge_chain_prove_verify():
+    """End-to-end STARK over a 4-block sponge chain (256 rows x 1548 cols):
+    the prover commits, opens, and the verifier accepts the chained
+    Fiat-Shamir permutation trace."""
+    from tapstark.commit import BcManager, TapTreeMmcs
+    from tapstark.fri import FriConfig, TwoAdicFriPcs
+    from tapstark.stark import prove, verify
+
+    nq = 1
+    fri = FriConfig(
+        log_blowup=1,
+        num_queries=nq,
+        proof_of_work_bits=2,
+        mmcs=TapTreeMmcs(BcManager(), nq, ext=True),
+    )
+    pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri)
+    blocks = [[b * 8 + w for w in range(8)] for b in range(4)]
+    trace, pis, digest = generate_blake3_sponge_trace(blocks)
+    ch = BfChallenger()
+    for blk in blocks:
+        ch.observe_u32s(blk)
+    assert digest == ch.sponge_state[8:]
+
+    pis_f = [F(x) for x in pis]
+    air = Blake3SpongeChainAir()
+    proof = prove(pcs, air, BfChallenger(), trace, pis_f)
+    verify(pcs, air, BfChallenger(), proof, pis_f)
