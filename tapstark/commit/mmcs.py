@@ -43,7 +43,7 @@ class TapTreeMmcs:
     def commit(self, inputs: list[FMatrix]):
         assert all(m.ext == self.ext for m in inputs)
         prover_data = self.tcs.commit_poly_with_query_times(inputs, self.num_queries)
-        commitment = [d.commit_taptree.root_words() for d in prover_data]
+        commitment = [d.root_words() for d in prover_data]
         return commitment, prover_data
 
     def commit_matrix(self, m: FMatrix):
@@ -78,8 +78,7 @@ class TapTreeMmcs:
         flat = [v for row in opened_values for v in row]
         limbs = scalars_to_limbs(flat)
         root_words = roots[query_times_index]
-        root_hash = b"".join(int(w).to_bytes(4, "little") for w in root_words)
-        return TCS.verify(root_hash, proof, limbs)
+        return TCS.verify_words(root_words, proof, limbs)
 
     @staticmethod
     def get_matrices(prover_data: list[CommitedData]) -> list[FMatrix]:

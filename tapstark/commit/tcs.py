@@ -80,6 +80,44 @@ class CommitedProof:
     query_index: int
 
 
+# Bitcoin Tapscript caps the combined stack+altstack at 1000 elements during
+# execution; each committed u32's witness is 20 items (10 digit signatures +
+# 10 digit values) plus the index commitment's 20. Leaves wider than this
+# bound are split column-wise into multiple taptrees ("shards"), each with
+# its own index/eval bit-commitments and its own root, so every leaf script
+# executes within consensus limits. The reference does NOT do this — its
+# wide-table README rows are flagged as estimates for exactly this reason
+# (/root/reference/README.md:90).
+MAX_LEAF_VALUES = 40
+
+
+def shard_bounds(num_values: int) -> list[tuple[int, int]]:
+    """Balanced contiguous column ranges, each of size <= MAX_LEAF_VALUES."""
+    if num_values <= MAX_LEAF_VALUES:
+        return [(0, num_values)]
+    k = -(-num_values // MAX_LEAF_VALUES)
+    base, rem = divmod(num_values, k)
+    bounds = []
+    lo = 0
+    for s in range(k):
+        hi = lo + base + (1 if s < rem else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
+
+
+@dataclass
+class ShardedCommitedProof:
+    """Opening of one leaf across the column shards of a wide commitment
+    (one CommitedProof per shard, same query index)."""
+
+    shards: list[CommitedProof]
+
+    @property
+    def query_index(self) -> int:
+        return self.shards[0].query_index
+
+
 def padding_matrix_np(matrices: list[FMatrix]) -> np.ndarray:
     """(num_leaves, num_values, num_limbs) canonical u32 interleaved leaves
     (vectorized reference padding_matrix, mod.rs:339-378)."""
@@ -158,9 +196,27 @@ class NativeTaptree:
 @dataclass
 class CommitedData:
     leaves: list[FMatrix]
-    commit_taptree: object  # CompleteTaptree | NativeTaptree
-    use_bcs: UseBComm
+    trees: list  # one CompleteTaptree | NativeTaptree per column shard
+    use_bcs_list: list[UseBComm]  # one per shard
+    bounds: list[tuple[int, int]]  # column range per shard
     values_np: np.ndarray  # (num_leaves, num_values, num_limbs)
+
+    @property
+    def commit_taptree(self):
+        assert len(self.trees) == 1, "sharded commitment has no single tree"
+        return self.trees[0]
+
+    @property
+    def use_bcs(self) -> UseBComm:
+        assert len(self.use_bcs_list) == 1
+        return self.use_bcs_list[0]
+
+    def root_words(self) -> list[int]:
+        """Concatenated 8-word LE roots of every shard tree."""
+        out: list[int] = []
+        for t in self.trees:
+            out.extend(t.root_words())
+        return out
 
     def get_max_height(self) -> int:
         return max(m.height for m in self.leaves)
@@ -168,12 +224,18 @@ class CommitedData:
     def leaf_limbs(self, i: int) -> list[list[int]]:
         return [[int(x) for x in v] for v in self.values_np[i]]
 
-    def query_proof(self, query_index: int) -> CommitedProof:
-        return CommitedProof(
-            leaf=self.commit_taptree.get_tapleaf(query_index),
-            use_bcs=self.use_bcs,
-            query_index=query_index,
-        )
+    def query_proof(self, query_index: int):
+        proofs = [
+            CommitedProof(
+                leaf=tree.get_tapleaf(query_index),
+                use_bcs=use_bcs,
+                query_index=query_index,
+            )
+            for tree, use_bcs in zip(self.trees, self.use_bcs_list)
+        ]
+        if len(proofs) == 1:
+            return proofs[0]
+        return ShardedCommitedProof(shards=proofs)
 
 
 def _leaf_witness(use_bcs: UseBComm, index: int, values: list[list[int]]) -> list[bytes]:
@@ -202,11 +264,11 @@ class TCS:
         eval_locks = [bc.locking_script().build() for bc in evaluations_bc]
         return use_bcs, index_lock, eval_locks
 
-    def _build(self, matrices, values_np, use_bcs, index_lock, eval_locks):
-        num_leaves = values_np.shape[0]
+    def _build_shard(self, values_shard, use_bcs, index_lock, eval_locks):
+        num_leaves = values_shard.shape[0]
 
         def script_fn(i: int) -> bytes:
-            return _leaf_script_from_row(index_lock, eval_locks, i, values_np[i])
+            return _leaf_script_from_row(index_lock, eval_locks, i, values_shard[i])
 
         from .. import native
 
@@ -214,34 +276,51 @@ class TCS:
             leaf_hashes, root, levels, perm = native.tcs_commit_native(
                 index_lock,
                 eval_locks,
-                values_np,
+                values_shard,
                 sha256(b"TapLeaf"),
                 sha256(b"TapBranch"),
             )
-            tree = NativeTaptree(leaf_hashes, root, levels, perm, script_fn)
-        else:
-            scripts = [script_fn(i) for i in range(num_leaves)]
-            tree = build_taptree(scripts)
+            return NativeTaptree(leaf_hashes, root, levels, perm, script_fn)
+        scripts = [script_fn(i) for i in range(num_leaves)]
+        return build_taptree(scripts)
+
+    def _build(self, matrices, values_np, shard_args, bounds):
+        trees = []
+        use_list = []
+        for (use_bcs, index_lock, eval_locks), (lo, hi) in zip(shard_args, bounds):
+            vs = np.ascontiguousarray(values_np[:, lo:hi])
+            trees.append(self._build_shard(vs, use_bcs, index_lock, eval_locks))
+            use_list.append(use_bcs)
         return CommitedData(
-            leaves=matrices, commit_taptree=tree, use_bcs=use_bcs, values_np=values_np
+            leaves=matrices,
+            trees=trees,
+            use_bcs_list=use_list,
+            bounds=bounds,
+            values_np=values_np,
         )
+
+    def _assign_rep(self, bounds, ext):
+        """Sequential lock assignment for every shard of one repetition."""
+        return [self._assign_locks(hi - lo, ext) for lo, hi in bounds]
 
     def commit_polys(self, matrices: list[FMatrix]) -> CommitedData:
         values_np = padding_matrix_np(matrices)
-        args = self._assign_locks(values_np.shape[1], matrices[0].ext)
-        return self._build(matrices, values_np, *args)
+        bounds = shard_bounds(values_np.shape[1])
+        shard_args = self._assign_rep(bounds, matrices[0].ext)
+        return self._build(matrices, values_np, shard_args, bounds)
 
     def commit_poly_with_query_times(
         self, matrices: list[FMatrix], total_query_times: int
     ) -> list[CommitedData]:
-        """One tree per query repetition, fresh bit commitments each
-        (mod.rs:284-292). Assignment is sequential (deterministic secrets);
-        the native tree builds release the GIL and run on a thread pool."""
+        """One tree (per shard) per query repetition, fresh bit commitments
+        each (mod.rs:284-292). Assignment is sequential (deterministic
+        secrets); the native tree builds release the GIL and run on a
+        thread pool."""
         values_np = padding_matrix_np(matrices)
         ext = matrices[0].ext
+        bounds = shard_bounds(values_np.shape[1])
         assignments = [
-            self._assign_locks(values_np.shape[1], ext)
-            for _ in range(total_query_times)
+            self._assign_rep(bounds, ext) for _ in range(total_query_times)
         ]
         from .. import native
 
@@ -254,10 +333,11 @@ class TCS:
             ) as pool:
                 return list(
                     pool.map(
-                        lambda a: self._build(matrices, values_np, *a), assignments
+                        lambda a: self._build(matrices, values_np, a, bounds),
+                        assignments,
                     )
                 )
-        return [self._build(matrices, values_np, *a) for a in assignments]
+        return [self._build(matrices, values_np, a, bounds) for a in assignments]
 
     def open_with_one_query(
         self, query_times_index: int, query_index: int, prover_data: list[CommitedData]
@@ -272,8 +352,33 @@ class TCS:
             return False
         from ..script.interpreter import MAX_STACK, execute_script
 
-        # Wide-trace leaves structurally exceed Bitcoin's 1000-element stack
-        # limit (the reference's wide-table README rows are estimates for the
-        # same reason); simulate with a relaxed limit in that regime.
+        # Sharded commits keep every leaf under Bitcoin's 1000-element stack
+        # limit by construction; the relaxed limit remains only as a guard
+        # for direct single-tree use beyond MAX_LEAF_VALUES.
         limit = max(MAX_STACK, len(witness) + 64)
         return execute_script(proof.leaf.script, witness, stack_limit=limit).success
+
+    @staticmethod
+    def verify_words(
+        root_words: list[int], proof, opening_limbs: list[list[int]]
+    ) -> bool:
+        """Verify against a commitment's (possibly sharded) root-word list:
+        8 LE words per shard tree, column ranges re-derived from the opened
+        value count (shard_bounds is deterministic)."""
+        if isinstance(proof, ShardedCommitedProof):
+            bounds = shard_bounds(len(opening_limbs))
+            if len(bounds) != len(proof.shards):
+                return False
+            if len(root_words) != 8 * len(bounds):
+                return False
+            for s, ((lo, hi), sp) in enumerate(zip(bounds, proof.shards)):
+                root_hash = b"".join(
+                    int(w).to_bytes(4, "little") for w in root_words[8 * s : 8 * s + 8]
+                )
+                if not TCS.verify(root_hash, sp, opening_limbs[lo:hi]):
+                    return False
+            return True
+        if len(root_words) != 8:
+            return False
+        root_hash = b"".join(int(w).to_bytes(4, "little") for w in root_words)
+        return TCS.verify(root_hash, proof, opening_limbs)

@@ -19,7 +19,7 @@ import struct
 
 from ..commit.bitcomm import BitCommitment, BitCommitmentU32
 from ..commit.taptree import LeafNode
-from ..commit.tcs import CommitedProof, UseBComm
+from ..commit.tcs import CommitedProof, ShardedCommitedProof, UseBComm
 from ..field.scalar import EF4, F
 from ..fri.pcs import BatchOpening
 from ..fri.proof import BfQueryProof, FriProof
@@ -71,14 +71,16 @@ def _r_scalar(b):
 def _w_roots(b, roots: list[list[int]]):
     _w_u32(b, len(roots))
     for r in roots:
-        assert len(r) == 8
+        # 8 words per shard tree; sharded wide commits carry 8*K words
+        assert len(r) % 8 == 0
+        _w_u32(b, len(r))
         for w in r:
             _w_u32(b, w)
 
 
 def _r_roots(b) -> list[list[int]]:
     n = _r_u32(b)
-    return [[_r_u32(b) for _ in range(8)] for _ in range(n)]
+    return [[_r_u32(b) for _ in range(_r_u32(b))] for _ in range(n)]
 
 
 def _w_bc(b, bc: BitCommitment):
@@ -95,7 +97,19 @@ def _r_bc(b) -> BitCommitment:
     )
 
 
-def _w_commited_proof(b, p: CommitedProof):
+def _w_commited_proof(b, p):
+    """Tag 0 = single CommitedProof, 1 = sharded (wide-trace column shards)."""
+    if isinstance(p, ShardedCommitedProof):
+        _w_u32(b, 1)
+        _w_u32(b, len(p.shards))
+        for sp in p.shards:
+            _w_one_commited_proof(b, sp)
+        return
+    _w_u32(b, 0)
+    _w_one_commited_proof(b, p)
+
+
+def _w_one_commited_proof(b, p: CommitedProof):
     _w_bytes(b, p.leaf.script)
     _w_bytes(b, p.leaf.leaf_hash)
     _w_u32(b, len(p.leaf.merkle_branch))
@@ -108,7 +122,17 @@ def _w_commited_proof(b, p: CommitedProof):
     _w_u32(b, p.query_index)
 
 
-def _r_commited_proof(b) -> CommitedProof:
+def _r_commited_proof(b):
+    tag = _r_u32(b)
+    if tag == 1:
+        return ShardedCommitedProof(
+            shards=[_r_one_commited_proof(b) for _ in range(_r_u32(b))]
+        )
+    assert tag == 0, f"bad CommitedProof tag {tag}"
+    return _r_one_commited_proof(b)
+
+
+def _r_one_commited_proof(b) -> CommitedProof:
     script = _r_bytes(b)
     leaf_hash = _r_bytes(b)
     branch = [_r_bytes(b) for _ in range(_r_u32(b))]

@@ -28,7 +28,12 @@ def test_wide_air_prove_verify():
         mmcs=TapTreeMmcs(BcManager(), nq, ext=True),
     )
     pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri)
-    trace, pis = generate_wide_trace(16, 8)
+    # the full 163-column config (BASELINE.md wide-table shape): 163 values
+    # per interleaved leaf -> 5 column shards, each within the real Bitcoin
+    # stack limit (see test_sharded_commit.py)
+    trace, pis = generate_wide_trace(163, 8)
     pis_f = [F(x) for x in pis]
-    proof = prove(pcs, WideAir(16), BfChallenger(), trace, pis_f, debug=True)
-    verify(pcs, WideAir(16), BfChallenger(), proof, pis_f)
+    proof = prove(pcs, WideAir(163), BfChallenger(), trace, pis_f, debug=True)
+    verify(pcs, WideAir(163), BfChallenger(), proof, pis_f)
+    from tapstark.commit.tcs import shard_bounds
+    assert len(proof.commitments.trace[0]) == 8 * len(shard_bounds(163))
