@@ -31,8 +31,8 @@ class BitCommitmentU32:
 
     __slots__ = ("winternitz", "value")
 
-    def __init__(self, secret_key: bytes, value: int = 0):
-        self.winternitz = Winternitz(secret_key)
+    def __init__(self, secret_key: bytes, value: int = 0, pub_key=None):
+        self.winternitz = Winternitz(secret_key, pub_key)
         self.value = value
 
     def set_value(self, value: int) -> None:
@@ -110,10 +110,37 @@ class BcManager:
         ).digest()[:20]
 
     def assign_bc(self, commit_type: str) -> BitCommitment:
+        return self.assign_bcs(commit_type, 1)[0]
+
+    def assign_bcs(self, commit_type: str, count: int) -> list[BitCommitment]:
+        """Bulk assignment: one native keygen call for all count*limbs
+        Winternitz keypairs (identical secrets/order to repeated assign_bc)."""
         limbs = 1 if commit_type == COMMIT_TYPE_U32 else 4
         with self._lock:
-            k = self._counter
-            self._counter += 1
-        return BitCommitment(
-            [BitCommitmentU32(self._secret(k, j)) for j in range(limbs)]
-        )
+            k0 = self._counter
+            self._counter += count
+        secrets = [
+            self._secret(k0 + i, j) for i in range(count) for j in range(limbs)
+        ]
+        from .. import native
+        from .winternitz import DIGITS, N
+
+        pub_keys: list[list[bytes] | None]
+        if native.get_lib() is not None and len(secrets) > 1:
+            pk = native.winternitz_pubkeys_batch(secrets, N, DIGITS)
+            pub_keys = [
+                [bytes(pk[s, d]) for d in range(N)] for s in range(len(secrets))
+            ]
+        else:
+            pub_keys = [None] * len(secrets)
+        return [
+            BitCommitment(
+                [
+                    BitCommitmentU32(
+                        secrets[i * limbs + j], pub_key=pub_keys[i * limbs + j]
+                    )
+                    for j in range(limbs)
+                ]
+            )
+            for i in range(count)
+        ]

@@ -258,7 +258,7 @@ class TCS:
         """Deterministic (sequential) bit-commitment assignment + lock bytes."""
         commit_type = COMMIT_TYPE_U128 if ext else COMMIT_TYPE_U32
         index_bc = self.manager.assign_bc(COMMIT_TYPE_U32)
-        evaluations_bc = [self.manager.assign_bc(commit_type) for _ in range(num_values)]
+        evaluations_bc = self.manager.assign_bcs(commit_type, num_values)
         use_bcs = UseBComm(index_bc=index_bc, evaluations_bc=evaluations_bc)
         index_lock = index_bc.locking_script().build()
         eval_locks = [bc.locking_script().build() for bc in evaluations_bc]

@@ -79,8 +79,11 @@ class Winternitz:
 
     __slots__ = ("secret_key", "pub_key")
 
-    def __init__(self, secret_key: bytes):
+    def __init__(self, secret_key: bytes, pub_key: list[bytes] | None = None):
         self.secret_key = secret_key
+        if pub_key is not None:
+            self.pub_key = pub_key
+            return
         from .. import native
 
         if native.get_lib() is not None:
