@@ -93,11 +93,14 @@ def main() -> None:
     # guarantee completion; fetching a scalar of the result does.
     _ = np.asarray(lde_fn(trace)[0, 0])
 
-    reps = 3
+    # sustained throughput: queue all reps, then one sync — device execution
+    # is in program order, so fetching the last result bounds them all. A
+    # per-rep sync would fold the axon relay's ~25-30 ms round-trip latency
+    # into every rep and hide kernel improvements.
+    reps = 8
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = lde_fn(trace)
-        _ = np.asarray(out[0, 0])  # force real device sync (tiny transfer)
+    outs = [lde_fn(trace) for _ in range(reps)]
+    _ = np.asarray(outs[-1][0, 0])  # force real device sync (tiny transfer)
     dt = (time.perf_counter() - t0) / reps
 
     # butterflies: iNTT of size n plus forward NTT of size n<<blowup, x width

@@ -168,7 +168,7 @@ def coset_lde_batch_auto(evals, log_blowup: int, shift: int):
     import jax
 
     if jax.default_backend() == "tpu":
-        from .pallas_ntt import coset_lde_batch_pallas_nogather
+        from .pallas_ntt import coset_lde_batch_pallas_blocks
 
-        return coset_lde_batch_pallas_nogather(evals, log_blowup, shift)
+        return coset_lde_batch_pallas_blocks(evals, log_blowup, shift)
     return coset_lde_batch(evals, log_blowup, shift)

@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..field.constants import P, R_MOD_P
+from ..field.constants import P, R_MOD_P, two_adic_generator
 from ..field.device import fp_add, fp_mul, fp_sub, np_to_mont
 from ..utils import bitrev_indices, log2_strict
 from .ntt import _n_inv_mont, _shift_powers, _stage_twiddles
@@ -280,6 +280,47 @@ def ntt_from_bitrev_pallas(coeffs_brv):
     b = jnp.swapaxes(a, 0, 1).reshape(c, r * w)  # B[brv_C(i2), (k1, w)]
     y = _ntt_cols_pallas(b, log_c, inverse=False)  # Y[k2, (k1, w)]
     return y.reshape(n, w)  # flat k2*R + k1 = k  (natural)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_scales(log_n: int, log_blowup: int, shift: int) -> np.ndarray:
+    """(blow, n) Montgomery scale tables in bitrev_n order: block r's table
+    is the powers of (shift * w_N^r) with N = n << log_blowup."""
+    from .powers import np_geom_powers  # local import to avoid cycles
+
+    n = 1 << log_n
+    w_big = two_adic_generator(log_n + log_blowup)
+    brv = bitrev_indices_np(log_n)
+    out = np.empty((1 << log_blowup, n), np.uint32)
+    for r in range(1 << log_blowup):
+        base = shift * pow(w_big, r, P) % P
+        out[r] = np_to_mont(np_geom_powers(base, n))[brv]
+    return out
+
+
+def coset_lde_batch_pallas_blocks(evals, log_blowup: int, shift: int):
+    """Coset LDE with NO zero padding: `blow` pre-scaled n-point NTTs.
+
+    The padded big NTT spends its first log_blowup stages on butterflies
+    against zeros and materializes 4x the data first. Instead, with
+    N = blow*n and big-domain index k = blow*m + r:
+        s*w_N^k = (s*w_N^r) * w_n^m,
+    so output stride-slice r is the n-point NTT of the coefficients
+    pre-scaled by powers of s*w_N^r — fused into the existing coset-shift
+    multiply. ~log_n/(log_n+log_blowup) of the butterflies and none of the
+    padding traffic."""
+    if log2_strict(evals.shape[0]) < 4:
+        return coset_lde_batch_pallas(evals, log_blowup, shift)
+    n, w = evals.shape
+    log_n = log2_strict(n)
+    blow = 1 << log_blowup
+    coeffs_brv = intt_to_bitrev_pallas(evals)
+    scales = jnp.asarray(_block_scales(log_n, log_blowup, shift % P))
+    # all blow blocks as extra batch width: ONE n-point NTT of width blow*w
+    scaled = fp_mul(coeffs_brv[:, None, :], scales.T[:, :, None])  # (n, blow, w)
+    y = ntt_from_bitrev_pallas(scaled.reshape(n, blow * w))
+    # y[m, (r, w)]; natural big-domain index k = blow*m + r
+    return y.reshape(n * blow, w)
 
 
 def coset_lde_batch_pallas_nogather(evals, log_blowup: int, shift: int):
