@@ -48,3 +48,19 @@ def test_pallas_nogather_lde_matches_jnp():
             np_from_mont(np.asarray(coset_lde_batch(x, lb, F.generator().v))),
             err_msg=f"log_n={log_n}",
         )
+
+
+def test_pallas_block_lde_matches_jnp():
+    """The TPU-default LDE: blowup folded into the NTT batch width."""
+    from tapstark.poly.pallas_ntt import coset_lde_batch_pallas_blocks
+
+    rng = np.random.default_rng(3)
+    for log_n, lb, w in ((3, 2, 1), (5, 1, 5), (8, 2, 3), (10, 3, 2)):
+        x = to_mont(rng.integers(0, P, (1 << log_n, w)).astype(np.uint32))
+        np.testing.assert_array_equal(
+            np_from_mont(
+                np.asarray(coset_lde_batch_pallas_blocks(x, lb, F.generator().v))
+            ),
+            np_from_mont(np.asarray(coset_lde_batch(x, lb, F.generator().v))),
+            err_msg=f"log_n={log_n} lb={lb} w={w}",
+        )
