@@ -1,6 +1,7 @@
 """Pallas four-step NTT vs the jnp reference kernels (interpret mode on CPU,
 compiled on TPU)."""
 
+import jax.numpy as jnp
 import numpy as np
 
 from tapstark.field import F, P
@@ -64,3 +65,29 @@ def test_pallas_block_lde_matches_jnp():
             np_from_mont(np.asarray(coset_lde_batch(x, lb, F.generator().v))),
             err_msg=f"log_n={log_n} lb={lb} w={w}",
         )
+
+
+def test_matmul_ntt_exact():
+    """MXU limb-matmul NTT (alternative backend): byte-equal to poly.ntt."""
+    from tapstark.poly.matmul_ntt import coset_lde_batch_matmul, ntt_matmul
+    from tapstark.poly.ntt import intt as intt_ref
+    from tapstark.poly.ntt import ntt as ntt_ref
+
+    rng = np.random.default_rng(5)
+    for log_n in (4, 8, 10):
+        n, w = 1 << log_n, 2
+        x = rng.integers(0, P, (n, w)).astype(np.uint32)
+        xm = to_mont(x)
+        np.testing.assert_array_equal(
+            np_from_mont(np.asarray(ntt_ref(xm))),
+            np.asarray(ntt_matmul(jnp.asarray(x))),
+        )
+        np.testing.assert_array_equal(
+            np_from_mont(np.asarray(intt_ref(xm))),
+            np.asarray(ntt_matmul(jnp.asarray(x), inverse=True)),
+        )
+    x = to_mont(rng.integers(0, P, (1 << 9, 3)).astype(np.uint32))
+    np.testing.assert_array_equal(
+        np_from_mont(np.asarray(coset_lde_batch(x, 2, F.generator().v))),
+        np_from_mont(np.asarray(coset_lde_batch_matmul(x, 2, F.generator().v))),
+    )
