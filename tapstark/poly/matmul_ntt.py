@@ -16,13 +16,19 @@ All NTT math here is in CANONICAL form (matmul is exact integer math);
 Montgomery conversion happens only at the LDE entry/exit boundaries.
 
 STATUS: exact (byte-equal to poly.ntt on every tested shape) but NOT the
-default TPU path. Measured on the axon-relay v5lite at 2^20/blowup 4: the
-int8 dots run at MXU speed (~25 TOPs, 0.7 ms per 1024x1024x8192), but the
-unfused limb recombination materializes 9 int32 partial-sum arrays per
-level through HBM, and this environment sustains only ~70 GB/s — 80 ms
-total vs 20 ms for the Pallas butterfly pipeline. Making this win requires
-a custom Pallas MXU kernel that keeps the 25 limb-dots' accumulators in
-VMEM and applies the modular epilogue before writeback (roadmap).
+default TPU path. Measurements on the axon-relay v5lite at 2^20/blowup 4:
+  - unfused XLA composition: 80 ms (9 int32 partial-sum arrays per level
+    round-trip HBM; this chip sustains only ~70 GB/s),
+  - mod_matmul_fused (below: limb decompose + 25 int8 MXU dots + modular
+    epilogue in one VMEM-resident Pallas kernel): members alone hit
+    15.5 TMAC/s (1.7 ms for R=128, B=65536) — but ONE composite jit of the
+    whole LDE compiles pathologically (63 ms; XLA layout assignment across
+    the pallas boundaries), while the same stages as separate jits chain
+    in 23.9 ms vs 19.6 ms for the Pallas butterfly pipeline.
+Remaining gap: the inter-level transposes/twiddles and per-dispatch
+overhead. Win condition: fold the outer twiddle into the fused kernel's
+epilogue and express the level transition via dot dimension numbers
+instead of materialized transposes (roadmap).
 
 Reference capability parity: p3-dft Radix2Dit / coset_lde_batch (the PCS
 commit path, reference fri/src/two_adic_pcs.rs:237-239) — re-architected
@@ -36,6 +42,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..field.constants import P, R_MOD_P, two_adic_generator
 from ..field.device import fp_add, fp_mul
@@ -90,7 +98,8 @@ def mod_matmul(w_limbs, x):
     """(R, R) DFT-matrix (as limbs) times (R, B) canonical u32 -> canonical.
 
     25 MXU int8 dots grouped into 9 shift buckets, then a modular
-    recombination on the VPU."""
+    recombination on the VPU. (Unfused XLA composition — the CPU/test path;
+    on TPU mod_matmul_fused keeps the accumulators in VMEM.)"""
     xl = _x_limbs(x)
     consts = jnp.asarray(_shift_consts_mont())
     shift_sums = [None] * (2 * _NUM_LIMBS - 1)
@@ -109,6 +118,68 @@ def mod_matmul(w_limbs, x):
         term = fp_mul(ss.astype(jnp.uint32), consts[s])
         acc = term if acc is None else fp_add(acc, term)
     return acc
+
+
+_TILE_B = 512
+
+
+def _fused_kernel(w_ref, x_ref, o_ref):
+    """One B-tile: limb-decompose in VMEM, 25 MXU dots into 9 int32
+    accumulators that never leave VMEM, modular epilogue, u32 writeback."""
+    x = x_ref[:]  # (R, TILE) uint32 canonical
+    mask = jnp.uint32((1 << _LIMB_BITS) - 1)
+    xl = [
+        ((x >> (_LIMB_BITS * l)) & mask).astype(jnp.int8)
+        for l in range(_NUM_LIMBS)
+    ]
+    consts = [int(c) for c in _shift_consts_mont()]
+    shift_sums = [None] * (2 * _NUM_LIMBS - 1)
+    for a in range(_NUM_LIMBS):
+        wa = w_ref[a]
+        for b in range(_NUM_LIMBS):
+            d = jax.lax.dot_general(
+                wa,
+                xl[b],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = a + b
+            shift_sums[s] = d if shift_sums[s] is None else shift_sums[s] + d
+    acc = None
+    for s, ss in enumerate(shift_sums):
+        term = fp_mul(ss.astype(jnp.uint32), jnp.uint32(consts[s]))
+        acc = term if acc is None else fp_add(acc, term)
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("log_r", "inverse"))
+def mod_matmul_fused(x, log_r: int, inverse: bool):
+    """TPU path of mod_matmul: one pallas kernel per B-tile, accumulators
+    and limb temporaries resident in VMEM (the unfused version round-trips
+    nine int32 partial-sum arrays through HBM per level)."""
+    r, b = x.shape
+    assert r == 1 << log_r
+    pad = (-b) % _TILE_B
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    bp = x.shape[1]
+    w = jnp.asarray(_w_matrix_limbs(log_r, inverse))
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _fused_kernel,
+        interpret=interpret,
+        grid=(bp // _TILE_B,),
+        in_specs=[
+            pl.BlockSpec(w.shape, lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _TILE_B), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (r, _TILE_B), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, bp), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(w, x)
+    return out[:, :b] if pad else out
 
 
 @functools.lru_cache(maxsize=None)
@@ -138,15 +209,20 @@ def ntt_matmul(x, inverse: bool = False):
     recursion totals 1/n."""
     n, w = x.shape
     log_n = log2_strict(n)
+    fused = jax.default_backend() == "tpu"
+
+    def member(xx, log_rr):
+        if fused:
+            return mod_matmul_fused(xx, log_rr, inverse)
+        return mod_matmul(jnp.asarray(_w_matrix_limbs(log_rr, inverse)), xx)
+
     if log_n <= _LOG_RADIX:
-        wl = jnp.asarray(_w_matrix_limbs(log_n, inverse))
-        return mod_matmul(wl, x)
+        return member(x, log_n)
     log_r = _LOG_RADIX
     log_c = log_n - log_r
     r, c = 1 << log_r, 1 << log_c
 
-    wr = jnp.asarray(_w_matrix_limbs(log_r, inverse))
-    a = mod_matmul(wr, x.reshape(r, c * w))  # A[k1, (i2, w)]
+    a = member(x.reshape(r, c * w), log_r)  # A[k1, (i2, w)]
     tw = jnp.asarray(_outer_twiddle_mont_mm(log_r, log_c, inverse))
     a = fp_mul(a.reshape(r, c, w), tw[:, :, None])
     b = jnp.swapaxes(a, 0, 1).reshape(c, r * w)  # B[i2, (k1, w)]
