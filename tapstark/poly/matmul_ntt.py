@@ -24,11 +24,13 @@ default TPU path. Measurements on the axon-relay v5lite at 2^20/blowup 4:
     15.5 TMAC/s (1.7 ms for R=128, B=65536) — but ONE composite jit of the
     whole LDE compiles pathologically (63 ms; XLA layout assignment across
     the pallas boundaries), while the same stages as separate jits chain
-    in 23.9 ms vs 19.6 ms for the Pallas butterfly pipeline.
-Remaining gap: the inter-level transposes/twiddles and per-dispatch
-overhead. Win condition: fold the outer twiddle into the fused kernel's
-epilogue and express the level transition via dot dimension numbers
-instead of materialized transposes (roadmap).
+    in 23.9 ms vs 19.6 ms for the Pallas butterfly pipeline,
+  - with the outer twiddle folded into the fused kernel's epilogue
+    (implemented below): 23.5 ms.
+Remaining gap: the inter-level transposes and per-dispatch overhead, plus
+the matmul-NTT's inherent R/log2(R) MAC factor against a chip where the
+observed MXU/VPU advantage is smaller than that. Next: express the level
+transition via dot dimension numbers instead of materialized transposes.
 
 Reference capability parity: p3-dft Radix2Dit / coset_lde_batch (the PCS
 commit path, reference fri/src/two_adic_pcs.rs:237-239) — re-architected
@@ -123,10 +125,9 @@ def mod_matmul(w_limbs, x):
 _TILE_B = 512
 
 
-def _fused_kernel(w_ref, x_ref, o_ref):
-    """One B-tile: limb-decompose in VMEM, 25 MXU dots into 9 int32
-    accumulators that never leave VMEM, modular epilogue, u32 writeback."""
-    x = x_ref[:]  # (R, TILE) uint32 canonical
+def _limb_dots_epilogue(w_ref, x):
+    """Shared kernel body: limb-decompose, 25 MXU dots into 9 int32
+    accumulators that never leave VMEM, modular recombination."""
     mask = jnp.uint32((1 << _LIMB_BITS) - 1)
     xl = [
         ((x >> (_LIMB_BITS * l)) & mask).astype(jnp.int8)
@@ -149,36 +150,58 @@ def _fused_kernel(w_ref, x_ref, o_ref):
     for s, ss in enumerate(shift_sums):
         term = fp_mul(ss.astype(jnp.uint32), jnp.uint32(consts[s]))
         acc = term if acc is None else fp_add(acc, term)
-    o_ref[:] = acc
+    return acc
+
+
+def _fused_kernel(w_ref, x_ref, o_ref):
+    o_ref[:] = _limb_dots_epilogue(w_ref, x_ref[:])
+
+
+def _fused_kernel_tw(w_ref, x_ref, tw_ref, o_ref):
+    """As _fused_kernel plus the outer-twiddle multiply in the epilogue
+    (saves a separate full-array modular-multiply pass per level)."""
+    o_ref[:] = fp_mul(_limb_dots_epilogue(w_ref, x_ref[:]), tw_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("log_r", "inverse"))
-def mod_matmul_fused(x, log_r: int, inverse: bool):
+def mod_matmul_fused(x, log_r: int, inverse: bool, tw=None):
     """TPU path of mod_matmul: one pallas kernel per B-tile, accumulators
     and limb temporaries resident in VMEM (the unfused version round-trips
-    nine int32 partial-sum arrays through HBM per level)."""
+    nine int32 partial-sum arrays through HBM per level). Optional tw
+    (R, B) Montgomery factors are multiplied in the kernel epilogue."""
     r, b = x.shape
     assert r == 1 << log_r
     pad = (-b) % _TILE_B
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)))
+        if tw is not None:
+            tw = jnp.pad(tw, ((0, 0), (0, pad)))
     bp = x.shape[1]
     w = jnp.asarray(_w_matrix_limbs(log_r, inverse))
     interpret = jax.default_backend() != "tpu"
+    in_specs = [
+        pl.BlockSpec(w.shape, lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, _TILE_B), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [w, x]
+    kernel = _fused_kernel
+    if tw is not None:
+        in_specs.append(
+            pl.BlockSpec((r, _TILE_B), lambda j: (0, j), memory_space=pltpu.VMEM)
+        )
+        args.append(tw)
+        kernel = _fused_kernel_tw
     out = pl.pallas_call(
-        _fused_kernel,
+        kernel,
         interpret=interpret,
         grid=(bp // _TILE_B,),
-        in_specs=[
-            pl.BlockSpec(w.shape, lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, _TILE_B), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (r, _TILE_B), lambda j: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((r, bp), jnp.uint32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(w, x)
+    )(*args)
     return out[:, :b] if pad else out
 
 
@@ -222,12 +245,25 @@ def ntt_matmul(x, inverse: bool = False):
     log_c = log_n - log_r
     r, c = 1 << log_r, 1 << log_c
 
-    a = member(x.reshape(r, c * w), log_r)  # A[k1, (i2, w)]
-    tw = jnp.asarray(_outer_twiddle_mont_mm(log_r, log_c, inverse))
-    a = fp_mul(a.reshape(r, c, w), tw[:, :, None])
+    if fused:
+        # outer twiddle in the kernel epilogue: one less full-array pass
+        twf = jnp.asarray(_outer_twiddle_rep(log_r, log_c, w, inverse))
+        a = mod_matmul_fused(x.reshape(r, c * w), log_r, inverse, tw=twf)
+        a = a.reshape(r, c, w)
+    else:
+        a = member(x.reshape(r, c * w), log_r)  # A[k1, (i2, w)]
+        tw = jnp.asarray(_outer_twiddle_mont_mm(log_r, log_c, inverse))
+        a = fp_mul(a.reshape(r, c, w), tw[:, :, None])
     b = jnp.swapaxes(a, 0, 1).reshape(c, r * w)  # B[i2, (k1, w)]
     y = ntt_matmul(b, inverse)  # NTT_C batched: Y[k2, (k1, w)]
     return y.reshape(n, w)  # flat k2*R + k1 = k
+
+
+@functools.lru_cache(maxsize=None)
+def _outer_twiddle_rep(log_r: int, log_c: int, w: int, inverse: bool) -> np.ndarray:
+    """(R, C*w) outer twiddles repeated across the width batch (the layout
+    of the member output's columns), for the in-kernel epilogue."""
+    return np.repeat(_outer_twiddle_mont_mm(log_r, log_c, inverse), w, axis=1)
 
 
 @functools.lru_cache(maxsize=None)

@@ -91,3 +91,24 @@ def test_matmul_ntt_exact():
         np_from_mont(np.asarray(coset_lde_batch(x, 2, F.generator().v))),
         np_from_mont(np.asarray(coset_lde_batch_matmul(x, 2, F.generator().v))),
     )
+
+
+def test_matmul_fused_twiddle_epilogue():
+    """The fused kernel's in-epilogue twiddle path (interpret mode) matches
+    unfused matmul + separate modular multiply."""
+    from tapstark.field.device import fp_mul
+    from tapstark.poly.matmul_ntt import (
+        _outer_twiddle_rep,
+        _w_matrix_limbs,
+        mod_matmul,
+        mod_matmul_fused,
+    )
+
+    rng = np.random.default_rng(6)
+    for log_r, log_c, w in [(7, 4, 2), (6, 3, 3)]:
+        b = (1 << log_c) * w
+        x = jnp.asarray(rng.integers(0, P, (1 << log_r, b)).astype(np.uint32))
+        tw = jnp.asarray(_outer_twiddle_rep(log_r, log_c, w, False))
+        ref = fp_mul(mod_matmul(jnp.asarray(_w_matrix_limbs(log_r, False)), x), tw)
+        got = mod_matmul_fused(x, log_r, False, tw=tw)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
