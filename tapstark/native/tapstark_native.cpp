@@ -5,7 +5,7 @@
 // basic/src/tcs/, scripts/src/bit_comm/). Exposed as a C ABI for ctypes:
 //   - winternitz_pubkeys_batch: hash160 chains for bit-commitment keys
 //   - tcs_commit: bulk leaf-script assembly, tapleaf hashing, ordered
-//     taptree build with per-leaf merkle branches
+//     taptree build emitting level hashes (branches derived by indexing)
 //
 // Self-contained SHA-256 / RIPEMD-160 (no external deps).
 
