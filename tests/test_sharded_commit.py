@@ -95,3 +95,27 @@ def test_sharded_wide_air_prove_verify_serde():
     rt = proof_from_bytes(blob)
     assert proof_to_bytes(rt) == blob
     verify(pcs, WideAir(cols), BfChallenger(), rt, pis_f)
+
+
+def test_sharded_trace_script_verifier():
+    """The Bitcoin-script verifier emission runs over a SHARDED trace
+    commitment: every emitted segment executes under the interpreter."""
+    from tapstark.airs.wide import WideAir, generate_wide_trace
+    from tapstark.stark.script_verifier import generate_script_verifier
+
+    nq = 1
+    fri = FriConfig(
+        log_blowup=1,
+        num_queries=nq,
+        proof_of_work_bits=2,
+        mmcs=TapTreeMmcs(BcManager(), nq, ext=True),
+    )
+    pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri)
+    cols = 44  # just past MAX_LEAF_VALUES -> 2 shards
+    trace, pis = generate_wide_trace(cols, 8)
+    pis_f = [F(x) for x in pis]
+    proof = prove(pcs, WideAir(cols), BfChallenger(), trace, pis_f)
+    assert len(proof.commitments.trace[0]) == 16  # sharded
+    rep = generate_script_verifier(pcs, WideAir(cols), BfChallenger(), proof, pis_f)
+    assert rep.total_script_bytes > 0
+    assert len(rep.segment_script_bytes) == nq + 3
