@@ -40,7 +40,7 @@ def test_pallas_nogather_lde_matches_jnp():
     from tapstark.poly.pallas_ntt import coset_lde_batch_pallas_nogather
 
     rng = np.random.default_rng(2)
-    for log_n, lb in ((5, 1), (8, 2), (11, 2)):
+    for log_n, lb in ((5, 1), (8, 2), (9, 2)):  # 9: odd four-step split
         x = to_mont(rng.integers(0, P, (1 << log_n, 3)).astype(np.uint32))
         np.testing.assert_array_equal(
             np_from_mont(
@@ -56,7 +56,7 @@ def test_pallas_block_lde_matches_jnp():
     from tapstark.poly.pallas_ntt import coset_lde_batch_pallas_blocks
 
     rng = np.random.default_rng(3)
-    for log_n, lb, w in ((3, 2, 1), (5, 1, 5), (8, 2, 3), (10, 3, 2)):
+    for log_n, lb, w in ((3, 2, 1), (5, 1, 5), (8, 2, 3), (9, 3, 2)):
         x = to_mont(rng.integers(0, P, (1 << log_n, w)).astype(np.uint32))
         np.testing.assert_array_equal(
             np_from_mont(
@@ -74,7 +74,7 @@ def test_matmul_ntt_exact():
     from tapstark.poly.ntt import ntt as ntt_ref
 
     rng = np.random.default_rng(5)
-    for log_n in (4, 8, 10):
+    for log_n in (4, 8, 9):  # 9: two recursion levels, odd split
         n, w = 1 << log_n, 2
         x = rng.integers(0, P, (n, w)).astype(np.uint32)
         xm = to_mont(x)
