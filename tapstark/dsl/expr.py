@@ -168,6 +168,26 @@ class Expr:
         assert self.vtype == NUM
         return Expr("bit", NUM, [self], (int(j), int(bits)))
 
+    # -- lookup tables (reference Table/Lookup opcodes,
+    #    script_expr/src/script_gen.rs:38-41, alias.rs:249-279) -------------
+    @staticmethod
+    def from_table(values) -> "Expr":
+        """A table of base-field constants materialized once on the stack
+        (retained even at refcount 1) and indexed in place by lookup()."""
+        vals = tuple(v if isinstance(v, F) else F(int(v)) for v in values)
+        assert vals, "empty table"
+        return Expr("table", "table", [], vals)
+
+    def lookup(self, index) -> "Expr":
+        """table.lookup(index) -> table[index] as a base value; `index` is a
+        NUM expr (or int constant). Compiles to a single depth-computed
+        OP_PICK against the retained table — the table is never copied."""
+        assert self.kind == "table"
+        if isinstance(index, int):
+            index = Expr.constant_num(index)
+        assert index.vtype == NUM
+        return Expr("lookup", BASE, [self, index])
+
 
 @dataclass
 class InputVar:
@@ -240,9 +260,32 @@ class InputManager:
     def get_script_len(self) -> int:
         return len(self.compile())
 
-    def run(self) -> None:
-        script = self.compile()
+    def run(self, debug: bool = False) -> None:
+        """Execute the compiled segment under the Tapscript interpreter.
+
+        With debug=True a source map is recorded during compilation (the
+        analog of the reference's injected stack.debug() breakpoints,
+        script_expr/src/lib.rs:157-159) and a failure names the DSL node
+        whose emitted byte range contains the failing opcode."""
+        source_map: list | None = [] if debug else None
+        script = compile_program(
+            self.inputs,
+            list(self.hint_verifies) + list(self.exec_exprs),
+            source_map=source_map,
+        ) if debug else self.compile()
         res = execute_script(script, self.witness())
+        if res.success:
+            return
+        if debug and res.error_offset >= 0:
+            culprit = None
+            for start, end, desc in source_map:
+                if start <= res.error_offset < end:
+                    culprit = desc
+                    break
+            raise AssertionError(
+                f"{self.name}: script failed: {res.error} "
+                f"at byte {res.error_offset} in node [{culprit}]"
+            )
         assert res.success, f"{self.name}: script failed: {res.error}"
 
 
@@ -320,6 +363,10 @@ def simulate(e: Expr, cache: dict | None = None):
     elif k == "equal_verify":
         assert ch[0] == ch[1], f"equal_verify failed: {ch[0]} != {ch[1]}"
         r = None
+    elif k == "table":
+        r = e.meta
+    elif k == "lookup":
+        r = ch[0][ch[1]]
     else:
         raise AssertionError(k)
     cache[e.id] = r
@@ -327,13 +374,7 @@ def simulate(e: Expr, cache: dict | None = None):
 
 
 def simulate_with_inputs(roots: list[Expr], inputs: list[InputVar]):
-    cache = {}
-    for iv in inputs:
-        cache[iv.expr.id] = iv.value.v if False else iv.value
-        if isinstance(iv.value, F) and iv.expr.vtype == BASE:
-            cache[iv.expr.id] = iv.value
-        elif isinstance(iv.value, int):
-            cache[iv.expr.id] = iv.value
+    cache = {iv.expr.id: iv.value for iv in inputs}
     return [simulate(r, cache) for r in roots]
 
 
@@ -405,6 +446,9 @@ def _emit_op(sb: ScriptBuilder, e: Expr, child_types: list[str]):
                 sb.num(limb)
     elif k == "const_num":
         sb.num(e.meta)
+    elif k == "table":
+        for v in e.meta:
+            sb.num(v.v)
     elif k in ("add", "sub", "mul"):
         lt, rt = child_types
         if e.vtype == BASE:
@@ -501,6 +545,12 @@ def _size_of_type(vt: str) -> int:
     return _LIMBS[vt]
 
 
+def _node_size(e: Expr) -> int:
+    if e.kind == "table":
+        return len(e.meta)
+    return _size_of_type(e.vtype)
+
+
 def _emit_exp_const(sb: ScriptBuilder, vtype: str, n: int):
     limbs = _LIMBS[vtype]
     if n == 1:
@@ -565,10 +615,17 @@ def _emit_index_to_rou(sb: ScriptBuilder, log_height: int):
         sb.emit(op.OP_ENDIF)
 
 
-def compile_program(inputs: list[InputVar], roots: list[Expr]) -> bytes:
+def compile_program(
+    inputs: list[InputVar],
+    roots: list[Expr],
+    source_map: list | None = None,
+) -> bytes:
     """Compile roots (void/bool exprs evaluated in order) into one script.
     Inputs occupy the bottom of the stack (the witness). Ends with cleanup
-    and OP_1."""
+    and OP_1.
+
+    If source_map is a list, appends (start_byte, end_byte, description) per
+    emitted node — the debug facility (see InputManager.run(debug=True))."""
     counts = _count_refs(roots)
     stack = _Stack()
     for iv in inputs:
@@ -577,17 +634,35 @@ def compile_program(inputs: list[InputVar], roots: list[Expr]) -> bytes:
     computed: set[int] = set()
 
     def emit(e: Expr):
-        size = _size_of_type(e.vtype)
+        size = _node_size(e)
+        start = len(sb) if source_map is not None else 0
         if e.kind == "input" or e.id in computed:
             _copy_segment(sb, stack.depth_of(e.id), size)
             stack.push_temp(size)
+            if source_map is not None:
+                source_map.append((start, len(sb), f"copy {e.kind}#{e.id}"))
+            return
+        if e.kind == "lookup":
+            # the table is retained in place (phase 1); PICK the entry by a
+            # depth computed from the on-stack index — the table is not copied
+            tbl, idx = e.children
+            emit(idx)
+            d = stack.depth_of(tbl.id)  # counts the idx temp
+            sb.num(d + len(tbl.meta) - 2).emit(op.OP_SWAP, op.OP_SUB, op.OP_PICK)
+            stack.pop_temp(1)
+            stack.push_temp(1)
+            if source_map is not None:
+                source_map.append((start, len(sb), f"lookup:{e.vtype}#{e.id}"))
             return
         for c in e.children:
             emit(c)
+        start = len(sb) if source_map is not None else 0
         _emit_op(sb, e, [c.vtype for c in e.children])
         for c in reversed(e.children):
             stack.pop_temp(_size_of_type(c.vtype))
         stack.push_temp(size)
+        if source_map is not None:
+            source_map.append((start, len(sb), f"{e.kind}:{e.vtype}#{e.id}"))
 
     # Phase 1: materialize every shared subexpression once, child-first, into
     # a retained region just above the inputs. Because descendants are
@@ -602,7 +677,7 @@ def compile_program(inputs: list[InputVar], roots: list[Expr]) -> bytes:
         seen.add(e.id)
         for c in e.children:
             collect(c)
-        if (
+        if e.kind == "table" or (
             counts.get(e.id, 0) > 1
             and e.kind != "input"
             and _size_of_type(e.vtype) > 0

@@ -67,33 +67,41 @@ def push_int(n: int) -> bytes:
 class ScriptBuilder:
     """Accumulates serialized script bytes."""
 
-    __slots__ = ("parts",)
+    __slots__ = ("parts", "_len")
 
     def __init__(self, initial: bytes = b""):
         self.parts: list[bytes] = [initial] if initial else []
+        self._len = len(initial)
 
     def emit(self, *ops: int) -> "ScriptBuilder":
         self.parts.append(bytes(ops))
+        self._len += len(ops)
         return self
 
     def num(self, n: int) -> "ScriptBuilder":
-        self.parts.append(push_int(n))
+        b = push_int(n)
+        self.parts.append(b)
+        self._len += len(b)
         return self
 
     def data(self, b: bytes) -> "ScriptBuilder":
-        self.parts.append(push_bytes(b))
+        b = push_bytes(b)
+        self.parts.append(b)
+        self._len += len(b)
         return self
 
     def raw(self, b: bytes) -> "ScriptBuilder":
         self.parts.append(b)
+        self._len += len(b)
         return self
 
     def extend(self, other: "ScriptBuilder") -> "ScriptBuilder":
         self.parts.extend(other.parts)
+        self._len += other._len
         return self
 
     def build(self) -> bytes:
         return b"".join(self.parts)
 
     def __len__(self) -> int:
-        return sum(len(p) for p in self.parts)
+        return self._len

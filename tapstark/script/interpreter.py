@@ -37,6 +37,7 @@ class ExecutionResult:
     error: str | None = None
     op_count: int = 0
     max_stack: int = 0
+    error_offset: int = -1  # byte offset of the failing opcode (-1 = n/a)
 
 
 def _truthy(b: bytes) -> bool:
@@ -57,9 +58,11 @@ def _compile(script: bytes):
     arg = end_target (instruction index just past the matching OP_ENDIF is
     NOT needed — targets point at the instruction AFTER the jump point)."""
     ins: list[tuple] = []
+    offsets: list[int] = []  # byte offset of each instruction (for debug maps)
     pc = 0
     n = len(script)
     while pc < n:
+        offsets.append(pc)
         opcode = script[pc]
         pc += 1
         if opcode <= op.OP_PUSHDATA4:
@@ -108,7 +111,7 @@ def _compile(script: bytes):
                 ins[j][1] = i + 1  # no ELSE: false branch goes past ENDIF
     if stack:
         raise ScriptError("unbalanced conditional")
-    return [tuple(x) if isinstance(x, list) else x for x in ins]
+    return [tuple(x) if isinstance(x, list) else x for x in ins], offsets
 
 
 def execute_script(
@@ -134,7 +137,7 @@ def execute_script(
         return ExecutionResult(False, st, "stack size limit exceeded", 0, max_stack)
 
     try:
-        ins = _compile(bytes(script))
+        ins, offsets = _compile(bytes(script))
     except ScriptError as e:
         return ExecutionResult(False, st, str(e), 0, max_stack)
 
@@ -324,11 +327,17 @@ def execute_script(
             if depth > max_stack:
                 max_stack = depth
     except ScriptError as e:
-        return ExecutionResult(False, st, str(e), op_count, max_stack)
+        return ExecutionResult(
+            False, st, str(e), op_count, max_stack, offsets[pc - 1]
+        )
     except IndexError:
-        return ExecutionResult(False, st, "stack underflow", op_count, max_stack)
+        return ExecutionResult(
+            False, st, "stack underflow", op_count, max_stack, offsets[pc - 1]
+        )
     except ValueError as e:
-        return ExecutionResult(False, st, str(e), op_count, max_stack)
+        return ExecutionResult(
+            False, st, str(e), op_count, max_stack, offsets[pc - 1]
+        )
 
     ok = len(st) == 1 and _truthy(st[0])
     err = None if ok else "final stack not a single truthy element"

@@ -27,6 +27,7 @@ from ..challenger import BfChallenger
 from ..dsl.constraint_builder import ScriptConstraintBuilder
 from ..dsl.expr import Expr, InputManager, ManagerAssign
 from ..dsl.lagrange import selectors_at_point_expr
+from ..dsl.value_counter import ValueCounter
 from ..field.scalar import EF4, F
 from ..fri.pcs import TwoAdicFriPcs
 from .proof import Proof
@@ -231,18 +232,15 @@ def generate_script_verifier(
     )
 
     report = ScriptVerifierReport()
-    u32_values: set[int] = set()
+    counter = ValueCounter()
     for m in manager_assign.managers:
         if run_scripts:
             m.run()
         size = m.get_script_len()
         report.segment_script_bytes[m.name] = size
         report.total_script_bytes += size
-        for iv in m.inputs:
-            v = iv.value
-            limbs = [v] if isinstance(v, int) else v.as_u32_vec()
-            u32_values.update(limbs)
-    report.distinct_u32_count = len(u32_values)
+        counter.add_manager(m)
+    report.distinct_u32_count = counter.get_value_num()
 
     # challenger-consistency script: replay the whole Fiat-Shamir transcript
     # in-script (blake3 permutations chained on the stack) and check every

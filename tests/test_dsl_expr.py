@@ -173,3 +173,42 @@ def test_equal_bool_and_manager_assign():
     m3.set_exec_dsl(e3.equal_for_f(a + F(1)))
     with pytest.raises(AssertionError):
         m3.run()
+
+
+def test_table_lookup_dynamic_index():
+    """Table/Lookup opcodes (reference script_gen.rs:38-41): the table is
+    retained once; lookups PICK entries by an on-stack index."""
+    from tapstark.dsl.expr import Expr, InputManager
+    from tapstark.field.scalar import F
+
+    m = InputManager("lookup")
+    tbl = Expr.from_table([F(10), F(20), F(30), F(40), F(50)])
+    idx = m.assign_input_num(3)
+    m.set_exec_dsl((tbl.lookup(idx) * Expr.constant(F(2))).equal_verify_for_f(F(80)))
+    m.set_exec_dsl(tbl.lookup(Expr.constant_num(0)).equal_verify_for_f(F(10)))
+    m.set_exec_dsl(tbl.lookup(Expr.constant_num(4)).equal_verify_for_f(F(50)))
+    m.run()
+
+
+def test_table_lookup_simulation_matches_script():
+    from tapstark.dsl.expr import Expr, simulate
+    from tapstark.field.scalar import F
+
+    tbl = Expr.from_table([F(7), F(8), F(9)])
+    v = tbl.lookup(Expr.constant_num(2))
+    assert simulate(v) == F(9)
+
+
+def test_run_debug_names_failing_node():
+    """run(debug=True) reports the DSL node containing the failing opcode
+    (the reference's stack.debug() breakpoint facility)."""
+    import pytest
+
+    from tapstark.dsl.expr import InputManager
+    from tapstark.field.scalar import F
+
+    m = InputManager("dbg")
+    a = m.assign_input_f(F(5))
+    m.set_exec_dsl(a.equal_verify_for_f(F(6)))
+    with pytest.raises(AssertionError, match=r"in node \[equal_verify"):
+        m.run(debug=True)
