@@ -162,35 +162,104 @@ def _u8_split(sb: ScriptBuilder, nbits: int) -> None:
     sb.emit(op.OP_SWAP)  # [hi, lo]
 
 
+def _u8_extract_hbit(sb: ScriptBuilder, hbit: int) -> None:
+    """[.., x] -> [.., lo_shifted, hi] with hi = x >> (8-hbit) and
+    lo_shifted = (x & (2^(8-hbit)-1)) << hbit — the low part comes out
+    PRE-SHIFTED so recombining across a byte boundary is a single OP_ADD
+    (reference u32_rrot.rs:107-138 discipline; no doubling chain needed)."""
+    assert 0 < hbit < 8
+    sb.num(0).emit(op.OP_TOALTSTACK)
+    for i in range(hbit):
+        sb.emit(op.OP_DUP).num(127).emit(op.OP_GREATERTHAN)
+        sb.emit(op.OP_IF)
+        sb.num(128).emit(op.OP_SUB)
+        sb.emit(op.OP_FROMALTSTACK)
+        sb.num(1 << (hbit - 1 - i)).emit(op.OP_ADD)
+        sb.emit(op.OP_TOALTSTACK)
+        sb.emit(op.OP_ENDIF)
+        sb.emit(op.OP_DUP, op.OP_ADD)
+    sb.emit(op.OP_FROMALTSTACK)
+
+
 def u32_rrot(n: int) -> ScriptBuilder:
     """General right-rotation by n of a u32 quad."""
     n %= 32
     q, r = divmod(n, 8)
     if r == 0:
         return {0: ScriptBuilder, 1: u32_rrot8, 2: u32_rrot16, 3: u32_rrot24}[q]()
+    if r == 7:
+        # rrot by 8q+7 = the 1-bit-boundary rotation, then byte-rotate by q
+        return _u32_rrot7_core(q)
+    hbit = 8 - r
     sb = ScriptBuilder()
-    # split every byte (b0 first, from the top): alt gets lo_i, hi_i pairs
+    # [b3 b2 b1 b0(top)]: extract each byte into (lo << hbit, hi); the
+    # pre-shifted lo of byte k combines with hi of byte (k+1) mod 4 by ADD
+    _u8_extract_hbit(sb, hbit)  # b0 -> l0s, h0
+    sb.emit(op.OP_ROT)
+    _u8_extract_hbit(sb, hbit)  # b1
+    sb.num(4).emit(op.OP_ROLL)
+    _u8_extract_hbit(sb, hbit)  # b2
+    sb.num(6).emit(op.OP_ROLL)
+    _u8_extract_hbit(sb, hbit)  # b3
+    # stack: l0s h0 l1s h1 l2s h2 l3s h3(top)
+    # byte'_k(before byte-rot) = h_k + l_{(k+1)%4}s
+    sb.num(7).emit(op.OP_ROLL, op.OP_ADD, op.OP_TOALTSTACK)  # h3 + l0s
+    sb.emit(op.OP_ADD, op.OP_TOALTSTACK)  # h2 + l3s
+    sb.emit(op.OP_ADD, op.OP_TOALTSTACK)  # h1 + l2s
+    sb.emit(op.OP_ADD, op.OP_TOALTSTACK)  # h0 + l1s
     for _ in range(4):
-        _u8_split(sb, r)  # [.., hi, lo]
-        sb.emit(op.OP_TOALTSTACK, op.OP_TOALTSTACK)
-    for _ in range(8):
         sb.emit(op.OP_FROMALTSTACK)
-    # main (bottom->top): hi3 lo3 hi2 lo2 hi1 lo1 hi0 lo0(top)
-    # depth(lo_i) = 2i, depth(hi_i) = 2i + 1
-    # after byte-rotating by q: c_k = b_{(k+q)%4};
-    # output byte'_k = hi(c_k) + lo(c_{(k+1)%4}) * 2^(8-r)
-    for k in (0, 1, 2, 3):
-        idx_hi = (k + q) % 4
-        idx_lo = (k + q + 1) % 4
-        sb.num(2 * idx_lo).emit(op.OP_PICK)
-        for _ in range(8 - r):
-            sb.emit(op.OP_DUP, op.OP_ADD)
-        sb.num(2 * idx_hi + 2).emit(op.OP_PICK)
-        sb.emit(op.OP_ADD, op.OP_TOALTSTACK)
-    for _ in range(4):
-        sb.emit(op.OP_2DROP)
-    for _ in range(4):
-        sb.emit(op.OP_FROMALTSTACK)  # [b'3 b'2 b'1 b'0(top)]
+    # alt pops O0 first: stack is [O0 O1 O2 O3(top)] — reverse to the quad
+    # convention [O3 O2 O1 O0(top)], then byte-rotate by q
+    sb.emit(op.OP_SWAP, op.OP_2SWAP, op.OP_SWAP)
+    _emit_byte_rot(sb, q)
+    return sb
+
+
+def _emit_byte_rot(sb: ScriptBuilder, q: int) -> None:
+    if q == 1:
+        sb.emit(op.OP_2SWAP)
+        sb.num(3).emit(op.OP_ROLL)
+    elif q == 2:
+        sb.emit(op.OP_2SWAP)
+    elif q == 3:
+        sb.num(3).emit(op.OP_ROLL)
+
+
+def _u32_rrot7_core(q: int) -> ScriptBuilder:
+    """rrot by 8q+7: out byte O_k = msb(b_k) + 2*(b_{k+1 mod 4} & 127),
+    then byte-rotate by q (reference u32_rrot7, u32_rrot.rs:46-88)."""
+    sb = ScriptBuilder()
+
+    def msb_split():
+        # [.., x] -> [.., lo, msb]
+        sb.num(128).emit(op.OP_2DUP, op.OP_GREATERTHANOREQUAL)
+        sb.emit(op.OP_IF, op.OP_SUB).num(1)
+        sb.emit(op.OP_ELSE, op.OP_DROP).num(0)
+        sb.emit(op.OP_ENDIF)
+
+    # [b3 b2 b1 b0(top)]
+    msb_split()  # [b3 b2 b1 l0 m0]
+    sb.emit(op.OP_ROT)  # [b3 b2 l0 m0 b1]
+    msb_split()  # [b3 b2 l0 m0 l1 m1]
+    sb.emit(op.OP_TOALTSTACK)  # [b3 b2 l0 m0 l1]  alt:[m1]
+    sb.emit(op.OP_DUP, op.OP_ADD, op.OP_ADD)  # O0 = m0 + 2*l1
+    sb.emit(op.OP_FROMALTSTACK)  # [b3 b2 l0 O0 m1]
+    sb.num(3).emit(op.OP_ROLL)  # [b3 l0 O0 m1 b2]
+    msb_split()  # [b3 l0 O0 m1 l2 m2]
+    sb.emit(op.OP_TOALTSTACK)
+    sb.emit(op.OP_DUP, op.OP_ADD, op.OP_ADD)  # O1 = m1 + 2*l2
+    sb.emit(op.OP_FROMALTSTACK)  # [b3 l0 O0 O1 m2]
+    sb.num(4).emit(op.OP_ROLL)  # [l0 O0 O1 m2 b3]
+    msb_split()  # [l0 O0 O1 m2 l3 m3]
+    sb.emit(op.OP_TOALTSTACK)
+    sb.emit(op.OP_DUP, op.OP_ADD, op.OP_ADD)  # O2 = m2 + 2*l3
+    sb.emit(op.OP_FROMALTSTACK)  # [l0 O0 O1 O2 m3]
+    sb.num(4).emit(op.OP_ROLL)  # [O0 O1 O2 m3 l0]
+    sb.emit(op.OP_DUP, op.OP_ADD, op.OP_ADD)  # O3 = m3 + 2*l0
+    # [O0 O1 O2 O3(top)] -> [O3 O2 O1 O0(top)]
+    sb.emit(op.OP_SWAP, op.OP_2SWAP, op.OP_SWAP)
+    _emit_byte_rot(sb, q)
     return sb
 
 

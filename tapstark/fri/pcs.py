@@ -361,11 +361,16 @@ class TwoAdicFriPcs:
                         [EF4.one(), Expr.constant(EF4.zero())],
                     )
                     for z, ps_at_z in mat_points_and_values:
+                        # p_at_z is assigned POSITIVELY (the reference assigns
+                        # -p_at_z, two_adic_pcs.rs:652): the same opened values
+                        # appear positively in the quotient/constraint
+                        # segments, so positive assignment dedups their u32
+                        # bit commitments across segments.
                         acc = Expr.constant(EF4.zero())
                         for p_at_x, p_at_z in zip(mat_opening, ps_at_z):
-                            acc = acc + Expr.constant(state[0]) * (
-                                manager.assign_input_f(-p_at_z)
-                                + manager.assign_input_f(p_at_x)
+                            acc = acc - Expr.constant(state[0]) * (
+                                manager.assign_input_f(p_at_z)
+                                - manager.assign_input_f(p_at_x)
                             )
                             state[0] = state[0] * alpha
                         x_minus_z = -z + EF4.from_base(x)
