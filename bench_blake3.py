@@ -1,6 +1,6 @@
 """Flagship workload bench: STARK-prove a chained Blake3 duplex sponge.
 
-Proves Blake3SpongeChainAir over a chain of permutations (64 rows each,
+Proves Blake3SpongeChainAir over a chain of compressions (64 rows each,
 1548 columns — the full compression function with the real message
 schedule), i.e. the exact hashing the Fiat-Shamir challenger performs.
 Prints one JSON line with wall-clock and permutations/s.
@@ -40,12 +40,14 @@ def main() -> None:
     num_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     nq = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
-    blocks = [[(b * 8 + w) & 0xFFFFFFFF for w in range(8)] for b in range(num_blocks)]
+    blocks = [
+        [(b * 16 + w) & 0xFFFFFFFF for w in range(16)] for b in range(num_blocks)
+    ]
     trace, pis, digest = generate_blake3_sponge_trace(blocks)
     ch = BfChallenger()
     for blk in blocks:
         ch.observe_u32s(blk)
-    assert digest == ch.sponge_state[8:], "AIR digest must match the challenger"
+    assert digest == ch.cv, "AIR digest must match the challenger"
     pis_f = [F(x) for x in pis]
     air = Blake3SpongeChainAir()
 

@@ -310,17 +310,19 @@ def generate_blake3_compression_trace(message: bytes):
 
 
 class Blake3SpongeChainAir(Blake3CompressionAir):
-    """Chained Blake3 permutations — the challenger's duplex sponge as an AIR.
+    """Chained Blake3 compressions — the challenger's v2 duplex as an AIR.
 
-    The sponge permutation blake3-hashes the 64-byte sponge state (reference
-    basic/src/challenger/mod.rs:34-48): the sponge state is the compression
-    MESSAGE, the internal chaining state v restarts at the single-block
-    constants every permutation. The trace is k 64-row blocks:
+    The v2 duplex step (tapstark/challenger; fills the role of the reference
+    sponge, basic/src/challenger/mod.rs:34-48) is the blake3 compression
+    function with a carried chaining value: cv' = f(cv, block, 0, 64,
+    CHUNK_START|CHUNK_END|ROOT)[:8]. The trace is k 64-row blocks:
 
-      - block start (sel[0] rows): v = the blake3 single-block init state;
-        message words 8..15 = previous permutation's digest (capacity carry,
-        zero for the first block); message words 0..7 = this permutation's
-        absorbed rate words (free witness, bitness-constrained);
+      - block start (sel[0] rows): v0..v7 = the chaining value (IV for the
+        first block, the previous block's digest h after — the carry is a
+        boundary constraint); v8..v15 = the fixed tail constants
+        (IV[:4], t=0,0, b=64, flags); message words = this block's 16
+        absorbed words (free witness, bitness-constrained, bound into the
+        chain through the digest);
       - within a block: the inherited compression constraints;
       - public values (16): half-words of the FINAL digest h_i = v_i^v_{i+8}.
     """
@@ -420,8 +422,9 @@ class Blake3SpongeChainAir(Blake3CompressionAir):
         g_out = {"a": a2, "b": b2, "c": c2, "d": d2}
         boundary = sel[63]
 
-        # v transition: G writes within a block; reset to the init constants
-        # at block boundaries
+        # v transition: G writes within a block; at block boundaries the cv
+        # half carries this block's digest h_i = v_i ^ v_{i+8} and the tail
+        # half resets to the fixed constants
         writers = {i: [] for i in range(16)}
         for p in range(N_G):
             abcd = SCHEDULE[p][0]
@@ -434,38 +437,34 @@ class Blake3SpongeChainAir(Blake3CompressionAir):
                     term = sel[p] * (g_out[slot][bit] - state[i][bit])
                     delta = term if delta is None else delta + term
                 expected = state[i][bit] + delta
-                init_bit = (_INIT_STATE[i] >> bit) & 1
-                transition.assert_zero(
-                    (1 - boundary) * (state_next[i][bit] - expected)
-                    + boundary * (state_next[i][bit] - init_bit)
-                )
-
-        # message: copied within a block; at the boundary the capacity half
-        # becomes this block's digest and the rate half is fresh witness
-        for i in range(16):
-            for bit in range(32):
                 if i < 8:
+                    h_bit = (
+                        state[i][bit]
+                        + state[i + 8][bit]
+                        - state[i][bit] * state[i + 8][bit] * 2
+                    )
                     transition.assert_zero(
-                        (1 - boundary) * (msg_next[i][bit] - msg[i][bit])
+                        (1 - boundary) * (state_next[i][bit] - expected)
+                        + boundary * (state_next[i][bit] - h_bit)
                     )
                 else:
-                    h_bit = (
-                        state[i - 8][bit]
-                        + state[i][bit]
-                        - state[i - 8][bit] * state[i][bit] * 2
-                    )
+                    init_bit = (_INIT_STATE[i] >> bit) & 1
                     transition.assert_zero(
-                        (1 - boundary) * (msg_next[i][bit] - msg[i][bit])
-                        + boundary * (msg_next[i][bit] - h_bit)
+                        (1 - boundary) * (state_next[i][bit] - expected)
+                        + boundary * (state_next[i][bit] - init_bit)
                     )
 
-        # first row: v = init constants, zero initial capacity
+        # message: copied within a block; fresh witness at each boundary
+        for i in range(16):
+            for bit in range(32):
+                transition.assert_zero(
+                    (1 - boundary) * (msg_next[i][bit] - msg[i][bit])
+                )
+
+        # first row: v = init state (cv = IV, fixed tail)
         for i in range(16):
             for bit in range(32):
                 first.assert_eq(state[i][bit], (_INIT_STATE[i] >> bit) & 1)
-        for i in range(8, 16):
-            for bit in range(32):
-                first.assert_eq(msg[i][bit], 0)
 
         # final digest binding
         last = builder.when_last_row()
@@ -476,12 +475,12 @@ class Blake3SpongeChainAir(Blake3CompressionAir):
 
 
 def generate_blake3_sponge_trace(observed_blocks: list[list[int]]):
-    """Trace for a chain of duplex-sponge permutations.
+    """Trace for a chain of v2 duplex compressions.
 
-    observed_blocks[b] = up to 8 u32 rate words absorbed before permutation b
-    (zero-padded; the message's capacity half carries the previous
-    permutation's digest — exactly BfChallenger._duplexing). Returns
-    (trace, pis, final_digest_words)."""
+    observed_blocks[b] = up to 16 u32 words absorbed by compression b
+    (zero-padded to a full 64-byte block; v0..v7 carry the previous
+    compression's digest as the chaining value — exactly BfChallenger's
+    full-block absorb step). Returns (trace, pis, final_digest_words)."""
     k = len(observed_blocks)
     rows = np.zeros((ROWS * k, NUM_COLS), dtype=np.uint32)
     M32 = 0xFFFFFFFF
@@ -494,12 +493,11 @@ def generate_blake3_sponge_trace(observed_blocks: list[list[int]]):
     def rr(v, n):
         return ((v >> n) | (v << (32 - n))) & M32
 
-    cap = [0] * 8
+    cv = list(_INIT_STATE[:8])
     digest = None
     for blk, observed in enumerate(observed_blocks):
-        obs = [w & M32 for w in observed] + [0] * (8 - len(observed))
-        m_words = obs + list(cap)  # the sponge state IS the message
-        state = list(_INIT_STATE)
+        m_words = [w & M32 for w in observed] + [0] * (16 - len(observed))
+        state = list(cv) + list(_INIT_STATE[8:])
         base = blk * ROWS
         for rr_i in range(ROWS):
             r = base + rr_i
@@ -546,7 +544,7 @@ def generate_blake3_sponge_trace(observed_blocks: list[list[int]]):
                 state[ia], state[ib], state[ic], state[idd] = a2, b2v, c2, d2v
 
         digest = [state[i] ^ state[i + 8] for i in range(8)]
-        cap = list(digest)
+        cv = list(digest)
 
     pis = []
     for w in digest:

@@ -1,24 +1,36 @@
-"""Blake3 duplex-sponge Fiat-Shamir challenger.
+"""Blake3 compression-function duplex Fiat-Shamir challenger.
 
-Behavioral port of the reference BfChallenger
-(/root/reference/basic/src/challenger/mod.rs):
+Fills the role of the reference BfChallenger
+(/root/reference/basic/src/challenger/mod.rs) with a transcript construction
+redesigned for in-script replay cost (v2):
 
-- State: 16 u32 words (64 bytes). Rate = WIDTH/2 = 8 words.
-- Permutation (`Blake3Permutation::permute_mut`, mod.rs:34-48): blake3-hash
-  the 64-byte LE state; new state = 8 zero words || 8 hash words.
-- observe(word): clears the output buffer, buffers the word; duplexes when
-  8 words are buffered (input words overwrite state[0..len]).
-- sample: pops from the END of the output buffer (state[15] first); base
-  sample = 1 word mod p, extension sample = 4 words (coefficients in pop
-  order), duplexing whenever inputs are pending or outputs are exhausted.
-- sample_bits(b) = first-base-coefficient >> (32 - b)  (mod.rs:341-348).
-- PoW grind: witness w such that after observe(w) + observe(0)*7,
-  sample_bits(bits) == 0 (mod.rs:94-114). The reference searches with rayon
-  find_any (nondeterministic winner); this implementation deterministically
-  returns the SMALLEST witness, searched as a vectorized blake3 batch.
+- The reference duplexes by blake3-hashing its whole 64-byte state, giving an
+  8-word absorb rate: every 8 observed words cost one compression, and its
+  sample_bits consumes a full extension sample (4 words). Replaying that
+  transcript in Bitcoin Script costs one ~100 KB blake3 gadget per
+  compression, so absorb rate directly prices the challenger segment.
+- v2 builds the duplex directly on the blake3 compression function
+  f(cv, block, t, b, flags) (hashes/blake3.py, from-spec):
+    * state = 8-word chaining value, initialised to the blake3 IV;
+    * absorb rate = 16 words: cv' = f(cv, block16, 0, 4*len, FLAGS) with
+      partial blocks zero-padded and length-bound via the b input — HALVING
+      the compression count of every observe stream;
+    * squeeze: the same step on the pending (possibly empty) block; the 8
+      output words are the new cv, popped from the END (h7 first);
+    * sample_bits(b) pops ONE raw word and takes its top b bits — 4x fewer
+      sampled words than the reference's full-extension-sample semantics
+      (mod.rs:341-348), uniform because the word is uniform on 2^32.
+  FLAGS = CHUNK_START|CHUNK_END|ROOT for every step; domain separation
+  between steps comes from chaining + the b length binding.
+- observe(word) clears the output buffer (like the reference), so samples
+  always see a post-absorb squeeze.
+- PoW grind: witness w such that after observe(w), sample_bits(bits) == 0.
+  The reference searches with rayon find_any (nondeterministic winner); this
+  implementation deterministically returns the SMALLEST witness, searched as
+  a vectorized blake3 batch (device kernel at high difficulty).
 
-The transcript is host-side state machine; the grind is the only heavy part
-and runs as a batched kernel (numpy on host, jnp on device).
+The transcript is a host-side state machine; the grind is the only heavy
+part and runs as a batched kernel (numpy on host, jnp on device).
 """
 
 from __future__ import annotations
@@ -27,10 +39,11 @@ import numpy as np
 
 from ..field.constants import P
 from ..field.scalar import EF4, F
-from ..hashes.blake3 import blake3, compress_batch
+from ..hashes.blake3 import CHUNK_END, CHUNK_START, IV, ROOT, compress, compress_batch
 
-WIDTH = 16
-RATE = WIDTH // 2
+RATE = 16  # absorb rate (words per compression block)
+OUT_WORDS = 8  # squeeze rate (output words per compression)
+FLAGS = CHUNK_START | CHUNK_END | ROOT
 
 
 def _jnp():
@@ -47,52 +60,63 @@ def jnp_argwhere_first(ok):
     return jnp.where(any_hit, first, ok.shape[0])
 
 
-class Blake3Permutation:
-    def permute(self, words: list[int]) -> list[int]:
-        data = b"".join(int(w).to_bytes(4, "little") for w in words)
-        h = blake3(data)
-        return [0] * 8 + [int.from_bytes(h[i * 4 : i * 4 + 4], "little") for i in range(8)]
+class Blake3Compression:
+    """The real duplex step: blake3 compression, first 8 output words."""
+
+    def compress(self, cv: list[int], block: list[int], block_len: int) -> list[int]:
+        return compress(cv, block, 0, block_len, FLAGS)[:8]
+
+
+class TestPermutation:
+    """Deterministic fake duplex step for fast protocol tests (the role of
+    the reference's only fake backend, fri/tests/fri.rs:34-48)."""
+
+    def compress(self, cv: list[int], block: list[int], block_len: int) -> list[int]:
+        mixed = [
+            (cv[i] ^ block[i]) + block[i + 8] + block_len + i & 0xFFFFFFFF
+            for i in range(8)
+        ]
+        return list(reversed(mixed))
 
 
 class BfChallenger:
     """field='ext' samples EF4 (the protocol's Challenge field); field='base'
-    samples BabyBear. PF = u32 words."""
+    samples BabyBear."""
 
-    def __init__(self, field: str = "ext", permutation: Blake3Permutation | None = None):
+    def __init__(self, field: str = "ext", permutation=None):
         assert field in ("base", "ext")
         self.field = field
-        self.permutation = permutation or Blake3Permutation()
-        self.sponge_state: list[int] = [0] * WIDTH
+        self.compression = permutation or Blake3Compression()
+        self.cv: list[int] = list(IV)
         self.input_buffer: list[int] = []
         self.output_buffer: list[int] = []
-        # Records for the Bitcoin-script challenger replay (DSL layer).
-        self.permutation_input_records: list[list[int]] = []
-        self.permutation_output_records: list[list[int]] = []
+        # Records for the Bitcoin-script challenger replay (DSL layer):
+        # (block16, block_len) per compression; cv chains from IV.
+        self.compression_records: list[tuple[list[int], int]] = []
         self.sample_input: list[list[int]] = []
         self.sample_output: list[object] = []
         self.grind_bits: int | None = None
-        self.grind_output: object = None
+        self.grind_output: int | None = None
         # Operation log for the challenger-consistency script replay
         # (the DSL layer's equivalent of the reference's BfChallengerExpr).
         self.op_log: list[tuple] = []
 
-    # -- core sponge -------------------------------------------------------
-    def _duplexing(self) -> None:
-        assert len(self.input_buffer) <= WIDTH
-        for i, w in enumerate(self.input_buffer):
-            self.sponge_state[i] = w
+    # -- core duplex -------------------------------------------------------
+    def _compress(self) -> None:
+        assert len(self.input_buffer) <= RATE
+        block = self.input_buffer + [0] * (RATE - len(self.input_buffer))
+        block_len = 4 * len(self.input_buffer)
+        self.compression_records.append((list(block), block_len))
+        self.cv = self.compression.compress(self.cv, block, block_len)
         self.input_buffer.clear()
-        self.permutation_input_records.append(list(self.sponge_state))
-        self.sponge_state = self.permutation.permute(self.sponge_state)
-        self.permutation_output_records.append(list(self.sponge_state[RATE:]))
-        self.output_buffer = list(self.sponge_state[RATE:])
+        self.output_buffer = list(self.cv)
 
     def observe(self, word: int) -> None:
         self.op_log.append(("observe", int(word) & 0xFFFFFFFF))
         self.output_buffer.clear()
         self.input_buffer.append(int(word) & 0xFFFFFFFF)
         if len(self.input_buffer) == RATE:
-            self._duplexing()
+            self._compress()
 
     def observe_u32s(self, words) -> None:
         for w in words:
@@ -105,7 +129,7 @@ class BfChallenger:
 
     def _pop(self) -> int:
         if self.input_buffer or not self.output_buffer:
-            self._duplexing()
+            self._compress()
         return self.output_buffer.pop()
 
     # -- sampling ----------------------------------------------------------
@@ -128,36 +152,38 @@ class BfChallenger:
         return res
 
     def sample_bits(self, bits: int) -> int:
-        assert bits < 64
-        rand_f = self.sample()
-        rand_usize = rand_f.as_canonical_u32() if isinstance(rand_f, F) else rand_f.as_usize()
-        result = rand_usize >> (32 - bits)
-        self.op_log.append(("sample_bits", bits, result))
+        """Top `bits` bits of ONE raw squeezed word (uniform on 2^bits)."""
+        assert 0 < bits < 32
+        w = self._pop()
+        result = w >> (32 - bits)
+        self.op_log.append(("sample_bits", bits, w, result))
         return result
 
     # -- proof of work -----------------------------------------------------
     def check_witness(self, bits: int, witness: int) -> bool:
         self.observe(witness)
-        for _ in range(7):
-            self.observe(0)
         return self.sample_bits(bits) == 0
 
     def _grind_batch_ok(self, ws, bits: int, xp=np):
-        """Vectorized check over candidate witnesses (current sponge capacity)."""
-        cap = self.sponge_state[RATE:]
+        """Vectorized check over candidate witnesses against the current
+        (cv, pending-input) state. observe(w); sample_bits(bits) is always
+        exactly one compression of block = pending + [w] + zero padding with
+        block_len 4*(len(pending)+1) — whether w completes the block (the
+        absorb compression feeds the output buffer) or the squeeze flushes
+        the partial block. The first popped word is h7."""
         shape = ws.shape
-        blocks = [xp.asarray(ws, dtype=xp.uint32)]
-        blocks += [xp.zeros(shape, xp.uint32)] * 7
-        blocks += [xp.full(shape, w, xp.uint32) for w in cap]
-        out = compress_batch(xp, blocks)
-        first = out[7] % xp.uint32(P)  # sample pops state[15] = hash word 7 first
-        return (first >> xp.uint32(32 - bits)) == 0
+        pend = self.input_buffer
+        blocks = [xp.full(shape, p, xp.uint32) for p in pend]
+        blocks += [xp.asarray(ws, dtype=xp.uint32)]
+        blocks += [xp.zeros(shape, xp.uint32)] * (RATE - 1 - len(pend))
+        cv = [xp.full(shape, w, xp.uint32) for w in self.cv]
+        out = compress_batch(xp, blocks, block_len=4 * (len(pend) + 1), cv=cv)
+        return (out[7] >> xp.uint32(32 - bits)) == 0
 
     def grind(self, bits: int, batch: int | None = None, use_device: bool | None = None) -> int:
         """Deterministic: returns the smallest valid witness and advances the
         transcript exactly like check_witness on it. High-difficulty grinds
         (>= 20 bits) run the blake3 batch as a jitted device kernel."""
-        assert not self.input_buffer, "grind expects a drained input buffer"
         if use_device is None:
             use_device = bits >= 20
         if batch is None:
@@ -189,13 +215,5 @@ class BfChallenger:
             raise RuntimeError("failed to find grind witness")
         assert self.check_witness(bits, witness)
         self.grind_bits = bits
-        self.grind_output = self.sample_output[-1]
+        self.grind_output = self.op_log[-1][3]
         return witness
-
-
-class TestPermutation:
-    """Deterministic fake permutation (state reversal) for fast protocol
-    tests — the reference's only fake backend (fri/tests/fri.rs:34-48)."""
-
-    def permute(self, words: list[int]) -> list[int]:
-        return list(reversed(words))

@@ -86,6 +86,19 @@ class BitCommitment:
             sb.emit(op.OP_FROMALTSTACK)
         return sb
 
+    def locking_script_parked(self) -> ScriptBuilder:
+        """Like locking_script, but leaves every recovered limb PARKED on the
+        altstack (limb n-1 deepest, limb 0 on top). Used by the constant-head
+        leaf layout: all locks run first, then a short variable tail pops and
+        EQUALVERIFYs each limb — so the per-leaf script bytes after the
+        shared constant head are tiny and tapleaf hashing can resume from a
+        precomputed SHA-256 midstate."""
+        sb = ScriptBuilder()
+        for c in reversed(self.commitments):
+            sb.extend(c.locking_script())
+            sb.emit(op.OP_TOALTSTACK)
+        return sb
+
     def witness(self) -> list[bytes]:
         out: list[bytes] = []
         for c in self.commitments:

@@ -7,7 +7,13 @@ Behavioral port of /root/reference/basic/src/tcs/mod.rs:
   is replicated into the 2^(log_max - k) leaves it covers (mod.rs:339-378).
 - Each leaf is a Tapscript that verifies Winternitz signatures for
   (query index, every evaluation limb) and checks them against the values
-  embedded as constants (CommitedLeaf::generate_script, mod.rs:197-226).
+  embedded as constants (CommitedLeaf::generate_script role, mod.rs:197-226).
+  Layout redesign (constant-head): all locks run FIRST, parking recovered
+  values on the altstack; a short variable tail pops and EQUALVERIFYs them,
+  NOP-padded to a shard-wide fixed length. This makes the tapleaf-hash
+  preimage prefix (tag block, leaf version, compact_size, all lock bytes)
+  identical across leaves, so committing hashes a shared midstate plus ~2
+  SHA-256 blocks per leaf instead of the multi-KB lock bytes per leaf.
 - A commitment is the taptree root; `commit_poly_with_query_times` commits
   `num_queries` independent trees with FRESH bit-commitment assignments
   (one-time-signature hygiene per query repetition, mod.rs:284-292).
@@ -143,18 +149,51 @@ def padding_matrix(matrices: list[FMatrix]) -> list[list[list[int]]]:
     ]
 
 
-def _leaf_script_from_row(
-    index_lock: bytes, eval_locks: list[bytes], index: int, row: np.ndarray
-) -> bytes:
-    """Assemble one leaf script (row: (num_values, num_limbs) canonical u32)."""
-    parts = [index_lock, push_int(index), bytes([op.OP_EQUALVERIFY])]
-    for lock, limbs in zip(eval_locks, row):
-        parts.append(lock)
-        for v in limbs[::-1]:
+def _leaf_head(index_lock_parked: bytes, eval_locks_parked: list[bytes]) -> bytes:
+    """Constant head shared by every leaf of a (repetition, shard): all
+    Winternitz locks run first, parking the recovered index + limbs on the
+    altstack (index deepest; value K-1 limb 0 on top)."""
+    return index_lock_parked + b"".join(eval_locks_parked)
+
+
+def _leaf_tail(index: int, row: np.ndarray) -> bytes:
+    """Variable tail: pop each parked limb and EQUALVERIFY it against the
+    claimed value pushed as a minimal-encoded constant. Pops come in reverse
+    park order: value K-1 limb 0 first ... value 0 limb n-1, index last."""
+    pop_eqv = bytes([op.OP_FROMALTSTACK, op.OP_EQUALVERIFY])
+    parts = []
+    for limbs in row[::-1]:
+        for v in limbs:
             parts.append(push_int(int(v)))
-            parts.append(bytes([op.OP_EQUALVERIFY]))
+            parts.append(pop_eqv)
+    parts.append(push_int(index))
+    parts.append(pop_eqv)
     parts.append(bytes([op.OP_1]))
     return b"".join(parts)
+
+
+def _max_tail_len(num_values: int, num_limbs: int) -> int:
+    """Upper bound on the tail: each push is <= 5 bytes (values and indices
+    are < 2^31) plus FROMALTSTACK + EQUALVERIFY, then OP_1."""
+    return (num_values * num_limbs + 1) * 7 + 1
+
+
+def _leaf_script_from_row(
+    head: bytes, fixed_len: int, index: int, row: np.ndarray
+) -> bytes:
+    """Assemble one leaf script: constant head || variable tail || OP_NOP
+    padding to the shard-wide fixed length.
+
+    The fixed length makes the compact_size prefix of the tapleaf hash —
+    and therefore the SHA-256 midstate over (tag block || leaf_version ||
+    compact_size || head) — identical across all leaves of a shard, so
+    per-leaf hashing is ~2 compressions instead of rehashing the multi-KB
+    lock bytes (reference rehashes the whole script per leaf,
+    basic/src/tcs/mod.rs:197-226)."""
+    tail = _leaf_tail(index, row)
+    pad = fixed_len - len(head) - len(tail)
+    assert pad >= 0
+    return head + tail + bytes([op.OP_NOP]) * pad
 
 
 class NativeTaptree:
@@ -255,27 +294,31 @@ class TCS:
         self.manager = manager
 
     def _assign_locks(self, num_values: int, ext: bool):
-        """Deterministic (sequential) bit-commitment assignment + lock bytes."""
+        """Deterministic (sequential) bit-commitment assignment + the shard's
+        constant leaf head and fixed script length."""
         commit_type = COMMIT_TYPE_U128 if ext else COMMIT_TYPE_U32
         index_bc = self.manager.assign_bc(COMMIT_TYPE_U32)
         evaluations_bc = self.manager.assign_bcs(commit_type, num_values)
         use_bcs = UseBComm(index_bc=index_bc, evaluations_bc=evaluations_bc)
-        index_lock = index_bc.locking_script().build()
-        eval_locks = [bc.locking_script().build() for bc in evaluations_bc]
-        return use_bcs, index_lock, eval_locks
+        index_lock = index_bc.locking_script_parked().build()
+        eval_locks = [bc.locking_script_parked().build() for bc in evaluations_bc]
+        head = _leaf_head(index_lock, eval_locks)
+        num_limbs = 4 if ext else 1
+        fixed_len = len(head) + _max_tail_len(num_values, num_limbs)
+        return use_bcs, head, fixed_len
 
-    def _build_shard(self, values_shard, use_bcs, index_lock, eval_locks):
+    def _build_shard(self, values_shard, use_bcs, head, fixed_len):
         num_leaves = values_shard.shape[0]
 
         def script_fn(i: int) -> bytes:
-            return _leaf_script_from_row(index_lock, eval_locks, i, values_shard[i])
+            return _leaf_script_from_row(head, fixed_len, i, values_shard[i])
 
         from .. import native
 
         if native.get_lib() is not None:
             leaf_hashes, root, levels, perm = native.tcs_commit_native(
-                index_lock,
-                eval_locks,
+                head,
+                fixed_len,
                 values_shard,
                 sha256(b"TapLeaf"),
                 sha256(b"TapBranch"),
@@ -287,9 +330,9 @@ class TCS:
     def _build(self, matrices, values_np, shard_args, bounds):
         trees = []
         use_list = []
-        for (use_bcs, index_lock, eval_locks), (lo, hi) in zip(shard_args, bounds):
+        for (use_bcs, head, fixed_len), (lo, hi) in zip(shard_args, bounds):
             vs = np.ascontiguousarray(values_np[:, lo:hi])
-            trees.append(self._build_shard(vs, use_bcs, index_lock, eval_locks))
+            trees.append(self._build_shard(vs, use_bcs, head, fixed_len))
             use_list.append(use_bcs)
         return CommitedData(
             leaves=matrices,

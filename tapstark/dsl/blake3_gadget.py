@@ -163,6 +163,40 @@ def blake3_compress_gadget(
     return sb
 
 
+def blake3_compress_chained_gadget(block_len: int = 64) -> ScriptBuilder:
+    """One blake3 compression with a DYNAMIC chaining value — the challenger
+    v2 duplex step f(cv, block, 0, block_len, CHUNK_START|CHUNK_END|ROOT)
+    (see tapstark/challenger).
+
+    stack in : [xor_table, cv0..cv7 quads (cv7's LSB on top — exactly the
+               output layout of a previous compress), m0..m15 quads
+               (m15's LSB on top)]
+    stack out: [xor_table, h0..h7 quads (h7's LSB on top)]
+    """
+    sb = ScriptBuilder()
+    env = _Env(sb, [f"v{i}" for i in range(8)] + [f"m{i}" for i in range(16)])
+    tail = list(IV[:4]) + [0, 0, block_len, CHUNK_START | CHUNK_END | ROOT]
+    for i, w in enumerate(tail):
+        sb.extend(u32_push(w))
+        env.order.append(f"v{i + 8}")
+    _run_rounds(env, [f"m{i}" for i in range(16)])
+    # outputs h_i = v_i ^ v_{i+8}, parked h7-first so the restore leaves
+    # [h0 .. h7(top)] — ready to chain into the next compression
+    for i in range(7, -1, -1):
+        env.roll(f"v{i}")
+        env.roll(f"v{i + 8}")
+        env.xor_top2("_out")
+        env.order.pop()
+        for _ in range(4):
+            sb.emit(op.OP_TOALTSTACK)
+    # drop the 16 message quads
+    for _ in range(32):
+        sb.emit(op.OP_2DROP)
+    for _ in range(32):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb
+
+
 def blake3_var_length_gadget(num_bytes: int) -> ScriptBuilder:
     """True blake3 of an arbitrary <=512-byte message, in script.
 

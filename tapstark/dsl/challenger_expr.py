@@ -5,14 +5,15 @@ Reference parity: script_expr/src/challenger_expr.rs (BfChallengerExpr) — the
 byte-level DSL twin of BfChallenger. This builder consumes the op_log of a
 natively-run challenger and emits ONE script that:
 
-  - recomputes every sponge permutation with the in-script blake3 gadget,
-    carrying the capacity (output words) forward on the stack so successive
-    permutations are genuinely chained;
+  - recomputes every duplex compression with the in-script blake3 gadget,
+    carrying the 8-word chaining value forward on the stack so successive
+    compressions are genuinely chained (challenger v2: 16-word absorb rate,
+    see tapstark/challenger);
   - converts sampled output words to field limbs mod p in-script and
     OP_EQUALVERIFYs them against the claimed challenge values
     (alpha, zeta, FRI betas, ...);
   - checks sample_bits extractions (query indices, PoW) via high-bit
-    extraction on the sampled word.
+    extraction on ONE raw squeezed word.
 
 Observed words (commitment roots, the PoW witness) enter as script constants
 — on-chain these become the bit-committed values of the BitVM2 flow.
@@ -20,12 +21,12 @@ Observed words (commitment roots, the PoW witness) enter as script constants
 
 from __future__ import annotations
 
-from ..challenger import RATE
+from ..challenger import FLAGS, RATE
 from ..field.scalar import EF4, F
-from ..hashes.blake3 import blake3
+from ..hashes.blake3 import IV, compress
 from ..script import opcodes as op
 from ..script.builder import ScriptBuilder
-from .blake3_gadget import blake3_compress_gadget
+from .blake3_gadget import blake3_compress_chained_gadget
 from .u32 import (
     drop_xor_table,
     push_xor_table,
@@ -40,42 +41,27 @@ class ChallengerScriptBuilder:
     def __init__(self):
         self.sb = ScriptBuilder()
         self.pending: list[int] = []
-        self.have_output = False
+        self.have_cv = False  # cv quads live on the stack?
         self.buffer_len = 0  # unread output words (buffer = h_0..h_{len-1})
-        self.state_cap: list[int] = [0] * 8  # host mirror of the capacity
+        self.cv: list[int] = list(IV)  # host mirror of the chaining value
         self.buffer_words: list[int] = []
-        self.last_sample_first_word_j: int | None = None
 
     # -- script plumbing ---------------------------------------------------
-    def _duplex(self) -> None:
+    def _compress(self) -> None:
         sb = self.sb
-        m_lo = [self.pending[i] if i < len(self.pending) else 0 for i in range(RATE)]
-        if self.have_output:
-            # park h0..h7 (h7 popped first), push rate constants, restore
-            for _ in range(32):
-                sb.emit(op.OP_TOALTSTACK)
-            for w in m_lo:
+        block = [self.pending[i] if i < len(self.pending) else 0 for i in range(RATE)]
+        block_len = 4 * len(self.pending)
+        if not self.have_cv:
+            for w in IV:
                 sb.extend(u32_push(w))
-            for _ in range(32):
-                sb.emit(op.OP_FROMALTSTACK)
-        else:
-            for w in m_lo:
-                sb.extend(u32_push(w))
-            for _ in range(8):
-                sb.extend(u32_push(0))
-        sb.extend(blake3_compress_gadget())
+        for w in block:
+            sb.extend(u32_push(w))
+        sb.extend(blake3_compress_chained_gadget(block_len))
         # host mirror
-        data = b"".join(
-            w.to_bytes(4, "little") for w in (m_lo + self.state_cap)
-        )
-        digest = blake3(data)
-        out_words = [
-            int.from_bytes(digest[4 * i : 4 * i + 4], "little") for i in range(8)
-        ]
-        self.state_cap = out_words
-        self.buffer_words = list(out_words)
+        self.cv = compress(self.cv, block, 0, block_len, FLAGS)[:8]
+        self.buffer_words = list(self.cv)
         self.buffer_len = 8
-        self.have_output = True
+        self.have_cv = True
         self.pending = []
 
     # -- transcript ops ----------------------------------------------------
@@ -83,34 +69,34 @@ class ChallengerScriptBuilder:
         self.buffer_len = 0
         self.pending.append(word)
         if len(self.pending) == RATE:
-            self._duplex()
+            self._compress()
+
+    def _pop_setup(self) -> int:
+        """Squeeze if needed; returns j such that the popped word is h_j
+        (quad depth 7-j on the stack)."""
+        if self.pending or self.buffer_len == 0:
+            self._compress()
+        j = self.buffer_len - 1
+        self.buffer_len -= 1
+        return j
 
     def sample(self, kind: str, words: list[int], value) -> None:
         limbs = value.as_u32_vec() if isinstance(value, (F, EF4)) else [value]
         n = 1 if kind == "base" else 4
         assert len(limbs) == n
         for l in range(n):
-            if self.pending or self.buffer_len == 0:
-                self._duplex()
-            j = self.buffer_len - 1  # popped word = h_j
+            j = self._pop_setup()
             assert self.buffer_words[j] == words[l], "op_log/sponge divergence"
-            if l == 0:
-                self.last_sample_first_word_j = j
             self.sb.extend(u32_pick(7 - j))
             self.sb.extend(u32_to_u31_f())
             self.sb.num(limbs[l]).emit(op.OP_EQUALVERIFY)
-            self.buffer_len -= 1
 
-    def sample_bits(self, bits: int, result: int) -> None:
-        # sample_bits shifts the mod-p REDUCED first coefficient
-        # (reference basic/src/challenger/mod.rs:341-348)
-        from .gadgets import u31_shr_const
-
-        j = self.last_sample_first_word_j
-        assert j is not None
+    def sample_bits(self, bits: int, word: int, result: int) -> None:
+        """Pop one raw word; verify its top `bits` bits equal `result`."""
+        j = self._pop_setup()
+        assert self.buffer_words[j] == word, "op_log/sponge divergence"
         self.sb.extend(u32_pick(7 - j))
-        self.sb.extend(u32_to_u31_f())
-        self.sb.extend(u31_shr_const(32 - bits))
+        self.sb.extend(u32_extract_high_bits(bits))
         self.sb.num(result).emit(op.OP_EQUALVERIFY)
 
     # -- assembly ----------------------------------------------------------
@@ -118,7 +104,7 @@ class ChallengerScriptBuilder:
         sb = ScriptBuilder()
         sb.extend(push_xor_table())
         sb.extend(self.sb)
-        if self.have_output:
+        if self.have_cv:
             for _ in range(16):
                 sb.emit(op.OP_2DROP)
         sb.extend(drop_xor_table())
@@ -135,7 +121,7 @@ def build_challenger_script(op_log: list[tuple]) -> bytes:
         elif entry[0] == "sample":
             b.sample(entry[1], entry[2], entry[3])
         elif entry[0] == "sample_bits":
-            b.sample_bits(entry[1], entry[2])
+            b.sample_bits(entry[1], entry[2], entry[3])
         else:
             raise AssertionError(entry[0])
     return b.finish()

@@ -137,19 +137,22 @@ def _g_vec(xp, st, a, b, c, d, mx, my):
     st[b] = rotr(st[b] ^ st[c], 7)
 
 
-def compress_batch(xp, block_words, counter=0, block_len=64, flags=CHUNK_START | CHUNK_END | ROOT):
+def compress_batch(xp, block_words, counter=0, block_len=64, flags=CHUNK_START | CHUNK_END | ROOT, cv=None):
     """Vectorized single-block compression.
 
     xp: numpy or jax.numpy module. block_words: list of 16 uint32 arrays of a
-    common batch shape. Returns list of 16 uint32 output arrays.
-    """
+    common batch shape. cv: optional chaining value — list of 8 uint32
+    arrays/scalars (defaults to the blake3 IV). Returns list of 8 uint32
+    output arrays (the digest words h_i = v_i ^ v_{i+8})."""
     shape = block_words[0].shape
     u32 = xp.uint32
 
     def const(v):
         return xp.broadcast_to(xp.asarray(v, dtype=u32), shape)
 
-    st = [const(IV[i]) for i in range(8)] + [const(IV[i]) for i in range(4)]
+    if cv is None:
+        cv = [const(IV[i]) for i in range(8)]
+    st = [xp.asarray(c, dtype=u32) for c in cv] + [const(IV[i]) for i in range(4)]
     st += [const(counter & _M32), const((counter >> 32) & _M32), const(block_len), const(flags)]
     m = [xp.asarray(w, dtype=u32) for w in block_words]
     for r in range(7):

@@ -81,12 +81,12 @@ def make_sharded_prover_step(
         # --- one FRI fold ---
         folded = fold_matrix(beta4, quotient.reshape(big // 2, 2, 4))
 
-        # --- sharded PoW grind batch ---
-        blocks = [grind_ws] + [jnp.zeros_like(grind_ws)] * 7 + [
-            jnp.broadcast_to(capacity[i], grind_ws.shape) for i in range(8)
-        ]
-        out = compress_batch(jnp, blocks)
-        ok = ((out[7] % jnp.uint32(P)) >> jnp.uint32(32 - grind_bits)) == 0
+        # --- sharded PoW grind batch (challenger v2: observe(w) compresses
+        # the block [w, 0*15] with block_len 4 against the current cv) ---
+        blocks = [grind_ws] + [jnp.zeros_like(grind_ws)] * 15
+        cv = [jnp.broadcast_to(capacity[i], grind_ws.shape) for i in range(8)]
+        out = compress_batch(jnp, blocks, block_len=4, cv=cv)
+        ok = (out[7] >> jnp.uint32(32 - grind_bits)) == 0
         winner = jnp.argmax(ok)
 
         return lde, quotient, folded, winner

@@ -51,20 +51,19 @@ def _build_and_load():
         ctypes.c_void_p,
     ]
     lib.tcs_commit.argtypes = [
-        ctypes.c_char_p,  # index_lock
-        ctypes.c_uint64,
-        ctypes.c_char_p,  # eval_locks
-        ctypes.c_void_p,  # eval_lock_offsets (u64*)
-        ctypes.c_uint32,  # num_values
+        ctypes.c_char_p,  # head (constant leaf prefix: all locks, parked)
+        ctypes.c_uint64,  # head_len
+        ctypes.c_uint64,  # fixed_len (shard-wide padded script length)
         ctypes.c_void_p,  # values (u32*)
         ctypes.c_uint32,  # num_leaves
+        ctypes.c_uint32,  # num_values
         ctypes.c_uint32,  # num_limbs
         ctypes.c_char_p,  # tapleaf_tag
         ctypes.c_char_p,  # tapbranch_tag
         ctypes.c_uint8,  # leaf_version
         ctypes.c_void_p,  # leaf_hashes out
         ctypes.c_void_p,  # root out
-        ctypes.c_void_p,  # branches out
+        ctypes.c_void_p,  # levels out
         ctypes.c_void_p,  # perm out
     ]
     return lib
@@ -102,14 +101,18 @@ def winternitz_pubkeys_batch(
 
 
 def tcs_commit_native(
-    index_lock: bytes,
-    eval_locks: list[bytes],
+    head: bytes,
+    fixed_len: int,
     values: np.ndarray,  # (num_leaves, num_values, num_limbs) uint32
     tapleaf_tag_digest: bytes,
     tapbranch_tag_digest: bytes,
     leaf_version: int = 0xC0,
 ):
     """Returns (leaf_hashes (n,32) u8, root bytes, levels, perm (n,) u32).
+
+    `head` is the shard's constant leaf prefix (all Winternitz locks in
+    parked form); each leaf's script is head || tail(i) || NOP pad to
+    fixed_len, and only the ~2 post-midstate blocks are hashed per leaf.
 
     `levels` is the list of internal level hash arrays [L_1, ..., L_{depth-1}]
     ((n>>l, 32) u8 each). Leaf i's merkle branch is L_l[(i >> l) ^ 1] for
@@ -121,9 +124,6 @@ def tcs_commit_native(
     assert lib is not None
     num_leaves, num_values, num_limbs = values.shape
     depth = max((num_leaves - 1).bit_length(), 0)
-    locks_blob = b"".join(eval_locks)
-    offsets = np.zeros(num_values + 1, dtype=np.uint64)
-    np.cumsum([len(b) for b in eval_locks], out=offsets[1:])
     vals = np.ascontiguousarray(values, dtype=np.uint32)
     leaf_hashes = np.empty((num_leaves, 32), dtype=np.uint8)
     root = np.empty(32, dtype=np.uint8)
@@ -131,13 +131,12 @@ def tcs_commit_native(
     levels_flat = np.empty((n_internal, 32), dtype=np.uint8)
     perm = np.empty(num_leaves, dtype=np.uint32)
     lib.tcs_commit(
-        index_lock,
-        len(index_lock),
-        locks_blob,
-        offsets.ctypes.data,
-        num_values,
+        head,
+        len(head),
+        fixed_len,
         vals.ctypes.data,
         num_leaves,
+        num_values,
         num_limbs,
         tapleaf_tag_digest,
         tapbranch_tag_digest,

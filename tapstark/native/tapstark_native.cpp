@@ -565,13 +565,19 @@ void sha256_batch(const uint8_t* data, const uint64_t* offsets, size_t n,
                      out + 32 * i);
 }
 
-// TCS commit: assemble every leaf script, hash tapleaves, build the ordered
-// taptree, and emit per-leaf merkle branches + the logical->physical
+// TCS commit: hash every tapleaf from the shard's shared SHA-256 midstate,
+// build the ordered taptree, and emit level hashes + the logical->physical
 // permutation.
 //
-// Leaf i script = index_lock || push(i) || OP_EQUALVERIFY ||
-//   for each value v (num_values): eval_lock[v] || for limb in
-//     reversed(limbs): push(value) || OP_EQUALVERIFY || ... || OP_1
+// Leaf i script (constant-head layout) = head || tail(i) || OP_NOP pad to
+// fixed_len, where head = all Winternitz locks (parking recovered limbs on
+// the altstack) and tail(i) = for each value in reverse, for limb 0..n-1:
+//   push(limb) OP_FROMALTSTACK OP_EQUALVERIFY, then push(i) 0x6c 0x88 OP_1.
+// Because fixed_len is shard-wide, the tapleaf preimage prefix
+// (tag||tag || leaf_version || compact_size(fixed_len) || head) is shared:
+// its midstate is computed once and each leaf costs only the ~2 blocks of
+// (prefix remainder || tail || pad). The reference rehashes the multi-KB
+// lock bytes per leaf (basic/src/tcs/mod.rs:197-226).
 //
 // values: num_leaves * num_values * num_limbs u32 (canonical)
 // tapleaf_tag / tapbranch_tag: 32-byte sha256 digests of the tag strings
@@ -583,18 +589,14 @@ void sha256_batch(const uint8_t* data, const uint64_t* offsets, size_t n,
 //          sibling reordering swaps only the leaf-position bookkeeping
 //          (perm), never the level hash arrays),
 //          perm (num_leaves u32: logical -> physical)
-void tcs_commit(const uint8_t* index_lock, uint64_t index_lock_len,
-                const uint8_t* eval_locks, const uint64_t* eval_lock_offsets,
-                uint32_t num_values, const uint32_t* values,
-                uint32_t num_leaves, uint32_t num_limbs,
+void tcs_commit(const uint8_t* head, uint64_t head_len, uint64_t fixed_len,
+                const uint32_t* values, uint32_t num_leaves,
+                uint32_t num_values, uint32_t num_limbs,
                 const uint8_t* tapleaf_tag, const uint8_t* tapbranch_tag,
                 uint8_t leaf_version, uint8_t* leaf_hashes, uint8_t* root,
                 uint8_t* levels, uint32_t* perm) {
 
-  // assemble + hash leaves. Tapleaf hash = sha256(tag||tag||hdr||script):
-  // tag||tag is exactly one block -> precompute its midstate once; assemble
-  // each leaf's hdr||script straight into a padded block buffer and run two
-  // leaves per loop through the interleaved two-stream compression.
+  // shared midstate over tag||tag || leaf_version || csize || head
   uint32_t leafmid[8];
   memcpy(leafmid, sha256impl::INIT, 32);
   {
@@ -603,91 +605,78 @@ void tcs_commit(const uint8_t* index_lock, uint64_t index_lock_len,
     memcpy(tagblk + 32, tapleaf_tag, 32);
     sha256impl::sha_block(leafmid, tagblk);
   }
+  std::vector<uint8_t> prefix;
+  prefix.push_back(leaf_version);
+  if (fixed_len < 0xfd) {
+    prefix.push_back(uint8_t(fixed_len));
+  } else if (fixed_len <= 0xffff) {
+    prefix.push_back(0xfd);
+    prefix.push_back(uint8_t(fixed_len & 0xff));
+    prefix.push_back(uint8_t(fixed_len >> 8));
+  } else {
+    prefix.push_back(0xfe);
+    for (int b = 0; b < 4; b++) prefix.push_back(uint8_t(fixed_len >> (8 * b)));
+  }
+  prefix.insert(prefix.end(), head, head + head_len);
+  size_t full = prefix.size() / 64;
+  for (size_t k = 0; k < full; k++)
+    sha256impl::sha_block(leafmid, prefix.data() + 64 * k);
+  const size_t rem = prefix.size() % 64;
+  const uint8_t* remp = prefix.data() + 64 * full;
 
-  size_t max_script = index_lock_len + 6 +
-                      (eval_lock_offsets[num_values] -
-                       eval_lock_offsets[0]) +
-                      size_t(num_values) * num_limbs * 7 + 8;
-  const size_t locks_total =
-      eval_lock_offsets[num_values] - eval_lock_offsets[0];
-  std::vector<uint8_t> bufa(max_script + 96), bufb(max_script + 96);
-
-  // minimal-push encoded size (incl. opcode) of a value < 2^31
-  auto pn_size = [](uint32_t v) -> size_t {
-    if (v <= 16) return 1;
-    size_t nb = 0;
-    uint8_t last = 0;
-    uint32_t m = v;
-    while (m) { last = uint8_t(m); nb++; m >>= 8; }
-    if (last & 0x80) nb++;
-    return nb + 1;
+  // per-leaf message: rem bytes || tail region (fixed_len - head_len bytes,
+  // NOP-padded) || sha padding — a constant block count for the whole shard
+  const size_t tail_region = size_t(fixed_len) - size_t(head_len);
+  const size_t L = rem + tail_region;  // message bytes after the midstate
+  const size_t P = (L + 9 + 63) & ~size_t(63);
+  const size_t nblocks = P / 64;
+  const uint64_t bits = (uint64_t(64) + prefix.size() + tail_region) * 8;
+  std::vector<uint8_t> bufa(P), bufb(P);
+  auto init_buf = [&](uint8_t* ob) {
+    memcpy(ob, remp, rem);
+    ob[L] = 0x80;
+    memset(ob + L + 1, 0, P - L - 1 - 8);
+    for (int b = 0; b < 8; b++) ob[P - 8 + b] = uint8_t(bits >> (56 - 8 * b));
   };
+  init_buf(bufa.data());
+  init_buf(bufb.data());
 
-  // write hdr||script||sha-padding for leaf i; returns block count
-  auto assemble = [&](uint32_t i, uint8_t* ob) -> size_t {
+  // write tail(i) + NOP pad into the tail region
+  auto assemble = [&](uint32_t i, uint8_t* ob) {
     const uint32_t* row = values + size_t(i) * num_values * num_limbs;
-    size_t slen = index_lock_len + pn_size(i) + 1 + locks_total + 1;
-    for (uint32_t v = 0; v < num_values * num_limbs; v++)
-      slen += pn_size(row[v]) + 1;
-    size_t off = 0;
-    ob[off++] = leaf_version;
-    if (slen < 0xfd) {
-      ob[off++] = uint8_t(slen);
-    } else if (slen <= 0xffff) {
-      ob[off++] = 0xfd;
-      ob[off++] = uint8_t(slen & 0xff);
-      ob[off++] = uint8_t(slen >> 8);
-    } else {
-      ob[off++] = 0xfe;
-      for (int b = 0; b < 4; b++) ob[off++] = uint8_t(slen >> (8 * b));
-    }
-    memcpy(ob + off, index_lock, index_lock_len);
-    off += index_lock_len;
-    off += push_num(ob + off, i);
-    ob[off++] = 0x88;  // OP_EQUALVERIFY
-    for (uint32_t v = 0; v < num_values; v++) {
-      uint64_t l0 = eval_lock_offsets[v], l1 = eval_lock_offsets[v + 1];
-      memcpy(ob + off, eval_locks + l0, l1 - l0);
-      off += l1 - l0;
-      for (int limb = int(num_limbs) - 1; limb >= 0; limb--) {
-        off += push_num(ob + off, row[v * num_limbs + limb]);
-        ob[off++] = 0x88;
+    size_t off = rem;
+    for (int v = int(num_values) - 1; v >= 0; v--) {
+      for (uint32_t limb = 0; limb < num_limbs; limb++) {
+        off += push_num(ob + off, row[size_t(v) * num_limbs + limb]);
+        ob[off++] = 0x6c;  // OP_FROMALTSTACK
+        ob[off++] = 0x88;  // OP_EQUALVERIFY
       }
     }
+    off += push_num(ob + off, i);
+    ob[off++] = 0x6c;
+    ob[off++] = 0x88;
     ob[off++] = 0x51;  // OP_1
-    // sha256 padding; bit length includes the 64 tag bytes in the midstate
-    size_t L = off;
-    ob[L] = 0x80;
-    size_t P = ((L + 9 + 63) & ~size_t(63));
-    memset(ob + L + 1, 0, P - L - 1 - 8);
-    uint64_t bits = (uint64_t(64) + L) * 8;
-    for (int b = 0; b < 8; b++) ob[P - 8 + b] = uint8_t(bits >> (56 - 8 * b));
-    return P / 64;
+    memset(ob + off, 0x61, rem + tail_region - off);  // OP_NOP pad
   };
 
   uint32_t li = 0;
   for (; li + 1 < num_leaves; li += 2) {
-    size_t na = assemble(li, bufa.data());
-    size_t nb = assemble(li + 1, bufb.data());
+    assemble(li, bufa.data());
+    assemble(li + 1, bufb.data());
     uint32_t hA[8], hB[8];
     memcpy(hA, leafmid, 32);
     memcpy(hB, leafmid, 32);
-    size_t c = na < nb ? na : nb;
-    for (size_t k = 0; k < c; k++)
+    for (size_t k = 0; k < nblocks; k++)
       sha256impl::sha_block2(hA, hB, bufa.data() + 64 * k,
                              bufb.data() + 64 * k);
-    for (size_t k = c; k < na; k++)
-      sha256impl::sha_block(hA, bufa.data() + 64 * k);
-    for (size_t k = c; k < nb; k++)
-      sha256impl::sha_block(hB, bufb.data() + 64 * k);
     sha256impl::sha_digest(hA, leaf_hashes + 32 * li);
     sha256impl::sha_digest(hB, leaf_hashes + 32 * (li + 1));
   }
   for (; li < num_leaves; li++) {
-    size_t na = assemble(li, bufa.data());
+    assemble(li, bufa.data());
     uint32_t hA[8];
     memcpy(hA, leafmid, 32);
-    for (size_t k = 0; k < na; k++)
+    for (size_t k = 0; k < nblocks; k++)
       sha256impl::sha_block(hA, bufa.data() + 64 * k);
     sha256impl::sha_digest(hA, leaf_hashes + 32 * li);
   }

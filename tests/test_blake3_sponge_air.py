@@ -1,6 +1,6 @@
-"""Blake3 sponge-chain AIR: the chained permutations must match the
-Fiat-Shamir challenger's duplex sponge exactly, constraints hold, and
-breaking the capacity carry between blocks is detected."""
+"""Blake3 sponge-chain AIR: the chained compressions must match the
+Fiat-Shamir challenger's v2 duplex exactly, constraints hold, and
+breaking the chaining-value carry between blocks is detected."""
 
 import numpy as np
 import pytest
@@ -17,14 +17,19 @@ from tapstark.stark import check_constraints
 
 
 def test_sponge_chain_matches_challenger():
-    blocks = [[3, 1, 4, 1, 5, 9, 2, 6], [27, 18, 28, 18, 0, 0, 0, 0], [7] * 8]
+    blocks = [
+        [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3],
+        [27, 18, 28, 18] + [0] * 12,
+        [7] * 16,
+    ]
     trace, pis, digest = generate_blake3_sponge_trace(blocks)
 
-    # cross-check against the real challenger sponge
+    # cross-check against the real challenger duplex (full 16-word blocks
+    # compress eagerly, so cv after the stream == the chain digest)
     ch = BfChallenger()
     for blk in blocks:
         ch.observe_u32s(blk)
-    assert digest == ch.sponge_state[8:]
+    assert digest == ch.cv
 
     air = Blake3SpongeChainAir()
     assert get_log_quotient_degree(air, len(pis)) == 1
@@ -32,29 +37,35 @@ def test_sponge_chain_matches_challenger():
 
 
 def test_sponge_chain_tamper_detection():
-    blocks = [[1, 2, 3, 4, 5, 6, 7, 8], [9, 10, 11, 12, 13, 14, 15, 16]]
+    blocks = [list(range(1, 17)), list(range(17, 33))]
     trace, pis, _ = generate_blake3_sponge_trace(blocks)
     air = Blake3SpongeChainAir()
     pis_f = [F(x) for x in pis]
     check_constraints(air, trace, pis_f)
 
-    # break the capacity carry into block 2 (state word 8, row 64)
+    # break the chaining-value carry into block 2 (cv word 0, row 64)
     bad = trace.copy()
-    bad[64, OFFSETS["v8"] + 2] ^= 1
+    bad[64, OFFSETS["v0"] + 2] ^= 1
     with pytest.raises(AssertionError):
         check_constraints(air, bad, pis_f)
 
-    # sponge must hash its own state: message != state on a block first row
+    # break the fixed tail constants at a block boundary (v14 = block_len)
     bad2 = trace.copy()
-    bad2[64 : 128, OFFSETS["m3"] + 5] ^= 1
+    bad2[64, OFFSETS["v14"] + 6] ^= 1
     with pytest.raises(AssertionError):
         check_constraints(air, bad2, pis_f)
 
-    # nonzero initial capacity
+    # wrong initial chaining value (cv must start at the blake3 IV)
     bad3 = trace.copy()
-    bad3[0, OFFSETS["v12"]] ^= 1
+    bad3[0, OFFSETS["v0"]] ^= 1
     with pytest.raises(AssertionError):
         check_constraints(air, bad3, pis_f)
+
+    # message words must be copied down a block, not swapped mid-block
+    bad4 = trace.copy()
+    bad4[70, OFFSETS["m3"] + 5] ^= 1
+    with pytest.raises(AssertionError):
+        check_constraints(air, bad4, pis_f)
 
     # wrong final digest
     bad_pis = list(pis_f)
@@ -66,7 +77,7 @@ def test_sponge_chain_tamper_detection():
 def test_sponge_chain_prove_verify():
     """End-to-end STARK over a 4-block sponge chain (256 rows x 1548 cols):
     the prover commits, opens, and the verifier accepts the chained
-    Fiat-Shamir permutation trace."""
+    Fiat-Shamir compression trace."""
     from tapstark.commit import BcManager, TapTreeMmcs
     from tapstark.fri import FriConfig, TwoAdicFriPcs
     from tapstark.stark import prove, verify
@@ -79,12 +90,12 @@ def test_sponge_chain_prove_verify():
         mmcs=TapTreeMmcs(BcManager(), nq, ext=True),
     )
     pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri)
-    blocks = [[b * 8 + w for w in range(8)] for b in range(4)]
+    blocks = [[b * 16 + w for w in range(16)] for b in range(4)]
     trace, pis, digest = generate_blake3_sponge_trace(blocks)
     ch = BfChallenger()
     for blk in blocks:
         ch.observe_u32s(blk)
-    assert digest == ch.sponge_state[8:]
+    assert digest == ch.cv
 
     pis_f = [F(x) for x in pis]
     air = Blake3SpongeChainAir()

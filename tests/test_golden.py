@@ -2,38 +2,42 @@
 
 Two regression anchors that fail on ANY transcript or serialization drift:
 
-1. Challenge values for a fixed observe sequence, hand-derivable as pure
-   blake3 over the 64-byte sponge state (the Blake3Permutation semantics of
-   reference basic/src/challenger/mod.rs:34-48: new state = 8 zero words ||
-   8 hash words; sample pops state[15] first; values reduced mod p).
+1. Challenge values for a fixed observe sequence, hand-derivable as one
+   blake3 compression (challenger v2 semantics, tapstark/challenger: duplex
+   on the compression function, cv chained from IV, 16-word rate with
+   length-bound partial blocks; sample pops h7 first; values reduced mod p;
+   sample_bits takes the top bits of one raw word).
 2. SHA-256 of the full serialized proof bytes for the reference's golden
    Fibonacci configuration (uni-stark/tests/fib_air.rs:117-149 parameters:
    2^3 rows, blowup 2^2, 28 queries, 8 PoW bits). This freezes the whole
-   pipeline: NTT, commitment roots (secrets policy, leaf script bytes,
-   taptree hashing), transcript, grind witness, FRI shape, and serde format.
+   pipeline: NTT, commitment roots (secrets policy, constant-head leaf
+   script bytes, taptree hashing), transcript, grind witness, FRI shape,
+   and serde format.
 
-The constants below were derived on 2026-08-17 from the from-spec blake3
-(validated against the official blake3 test vectors in test_hashes.py) and
-the deterministic prover. They are LOAD-BEARING: do not regenerate them to
-make a failing test pass — a mismatch means semantics drifted.
+The constants below were re-frozen on 2026-08-17 after two deliberate,
+documented protocol redesigns (constant-head leaf scripts; challenger v2
+compression duplex) from the from-spec blake3 (validated against the
+official blake3 test vectors in test_hashes.py) and the deterministic
+prover. They are LOAD-BEARING: do not regenerate them to make a failing
+test pass — a mismatch means semantics drifted.
 """
 
 import hashlib
 
-from tapstark.challenger import BfChallenger
-from tapstark.hashes.blake3 import blake3
+from tapstark.challenger import FLAGS, BfChallenger
+from tapstark.hashes.blake3 import IV, compress
 
 # -- anchor 1: transcript freeze -------------------------------------------
 
-# observe words 1..8 (one full rate block), then sample an EF4 challenge
-FROZEN_EXT_SAMPLE = (321724959, 1857346701, 1210642515, 242104329)
-FROZEN_SAMPLE_BITS_16 = 4909
+# observe words 1..8 (a partial block, length-bound), then sample EF4
+FROZEN_EXT_SAMPLE = (1739616635, 43692749, 812499622, 1886754645)
+FROZEN_SAMPLE_BITS_16 = 57264
 
 # -- anchor 2: proof bytes freeze ------------------------------------------
 
-GOLDEN_PROOF_SHA256 = "d25ff7d798a03bd972ed887ab36efed64e139945c9deb99d90a425880c0140ff"
-GOLDEN_PROOF_LEN = 869801
-GOLDEN_POW_WITNESS = 161
+GOLDEN_PROOF_SHA256 = "785314e2282cb62fe0676e3f389aa90b630dd8eb1613ade6a7bb47100752438e"
+GOLDEN_PROOF_LEN = 870361
+GOLDEN_POW_WITNESS = 113
 
 
 def test_frozen_challenge_values():
@@ -50,16 +54,15 @@ def test_frozen_challenge_values():
 
 
 def test_frozen_challenge_values_independent_derivation():
-    """Re-derive anchor 1 from first principles: duplexing writes the 8
-    observed words over state[0..8], permutes (blake3 over the 64-byte LE
-    state -> high half), and sample pops state[15] (hash word 7) first."""
+    """Re-derive anchor 1 from first principles: the squeeze is ONE blake3
+    compression of the zero-padded pending block with block_len = 4*8 = 32
+    against cv = IV; sample pops h7 (output word 7) first."""
     P = 0x78000001
-    state = list(range(1, 9)) + [0] * 8
-    h = blake3(b"".join(w.to_bytes(4, "little") for w in state))
-    hw = [int.from_bytes(h[4 * i : 4 * i + 4], "little") for i in range(8)]
-    derived = tuple(hw[7 - i] % P for i in range(4))
+    block = list(range(1, 9)) + [0] * 8
+    out = compress(list(IV), block, 0, 32, FLAGS)[:8]
+    derived = tuple(out[7 - i] % P for i in range(4))
     assert derived == FROZEN_EXT_SAMPLE
-    assert (hw[7] % P) >> 16 == FROZEN_SAMPLE_BITS_16
+    assert out[7] >> 16 == FROZEN_SAMPLE_BITS_16
 
 
 def test_frozen_proof_bytes():

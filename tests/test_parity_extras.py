@@ -39,12 +39,18 @@ def test_combine_different_depths():
 
 
 def test_fake_permutation_challenger():
+    from tapstark.field import P
+
     ch = BfChallenger(field="ext", permutation=TestPermutation())
     ch.observe_u32s(range(8))
     s = ch.sample()
-    # state reversed: words [7..0, 0*8]; outputs = state[8:] = [7,...,0]
-    # pop from the end: first word popped is 0
-    assert s.c[0] == 0 and s.c[1] == 1
+    # fake duplex step: mixed[i] = (cv[i]^block[i]) + block[i+8] + b + i,
+    # output reversed; pop from the end -> first popped word is mixed[0]
+    fake = TestPermutation()
+    from tapstark.hashes.blake3 import IV
+
+    out = fake.compress(list(IV), list(range(8)) + [0] * 8, 32)
+    assert s.c[0] == out[7] % P and s.c[1] == out[6] % P
 
 
 def test_leaf_index_helper():
@@ -59,4 +65,4 @@ def test_device_grind_matches_host():
     ch2.observe_u32s([9] * 8)
     w2 = ch2.grind(5, use_device=True, batch=1 << 12)
     assert w1 == w2
-    assert ch1.sponge_state == ch2.sponge_state
+    assert ch1.cv == ch2.cv
