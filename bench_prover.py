@@ -5,7 +5,15 @@ jit compiles; steady state measures the real pipeline: LDE commits + taptree
 builds + quotient + FRI + openings). Prints one JSON line per size with a
 phase breakdown.
 
-Usage: python bench_prover.py [log_n ...]   (default 11 14)
+The north-star row (BASELINE config 3) is `python bench_prover.py 20:2:28`:
+2^20 rows, blowup 2^2, 28 query repetitions, EF4 sampling, 8 PoW bits — the
+full prove() call stack of /root/reference/uni-stark/src/prover.rs:25-194.
+
+Usage: python bench_prover.py [log_n[:log_blowup[:num_queries]] ...]
+  default: 11 14  (log_blowup 1, 16 queries)
+Env: TAPSTARK_BENCH_TPU=1 to run device work on the axon TPU (default CPU:
+the remote relay's per-call latency is not representative of a local chip);
+TAPSTARK_BENCH_COLD=1 to skip the warm-up prove (measures first-call too).
 """
 
 from __future__ import annotations
@@ -39,12 +47,18 @@ def main() -> None:
     from tapstark.stark import prove, verify
     from tapstark.utils import profiling
 
-    sizes = [int(a) for a in sys.argv[1:]] or [11, 14]
-    num_queries = 16
-    for log_n in sizes:
+    configs = []
+    for a in sys.argv[1:] or ["11", "14"]:
+        parts = a.split(":")
+        log_n = int(parts[0])
+        log_blowup = int(parts[1]) if len(parts) > 1 else 1
+        nq = int(parts[2]) if len(parts) > 2 else 16
+        configs.append((log_n, log_blowup, nq))
+
+    for log_n, log_blowup, num_queries in configs:
         def mk():
             fri = FriConfig(
-                log_blowup=1,
+                log_blowup=log_blowup,
                 num_queries=num_queries,
                 proof_of_work_bits=8,
                 mmcs=TapTreeMmcs(BcManager(), num_queries, ext=True),
@@ -55,7 +69,8 @@ def main() -> None:
 
         trace = generate_fibonacci_trace(0, 1, 1 << log_n)
         pis = [F(0), F(1), F(int(trace[-1, 1]))]
-        prove(mk(), FibonacciAir(), BfChallenger(), trace, pis)  # warm compiles
+        if os.environ.get("TAPSTARK_BENCH_COLD") != "1":
+            prove(mk(), FibonacciAir(), BfChallenger(), trace, pis)  # warm compiles
 
         profiling.enable()
         profiling.reset()
@@ -70,14 +85,15 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": f"fib prover wall-clock (2^{log_n} rows, {num_queries} queries, steady state)",
+                    "metric": f"fib prover wall-clock (2^{log_n} rows, blowup 2^{log_blowup}, {num_queries} queries, steady state)",
                     "value": dt,
                     "unit": "s",
                     "rows_per_s": round((1 << log_n) / dt, 1),
                     "phases": phases,
                     "backend": jax.default_backend(),
                 }
-            )
+            ),
+            flush=True,
         )
 
 
