@@ -23,3 +23,24 @@ Layering (TPU-first, by data layout and device boundary — see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator() -> None:
+    """Serve large allocations from the (never-trimmed) heap instead of
+    fresh mmaps. The prover allocates/frees multi-GB hash and value arrays
+    per phase; with glibc's default 128 KB mmap threshold every cycle
+    returns the pages to the OS and re-faults them on the next touch — on
+    lazily-faulted VMs (snapshot-restored or ballooned guests) first-touch
+    runs at ~10-50 MB/s, dwarfing all compute. Keeping freed blocks on the
+    heap makes steady-state allocation reuse warm pages. No-op off glibc."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD: 1 GB
+        libc.mallopt(-1, 0x7FFFFFFF)  # M_TRIM_THRESHOLD: never trim
+    except Exception:  # pragma: no cover - non-glibc platforms
+        pass
+
+
+_tune_allocator()

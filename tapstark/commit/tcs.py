@@ -196,18 +196,42 @@ def _leaf_script_from_row(
     return head + tail + bytes([op.OP_NOP]) * pad
 
 
-class NativeTaptree:
-    """Taptree built by the native engine; leaf scripts rebuilt on demand."""
+# openings rebuild a 2^LEVEL_CUTOFF-leaf block (a few hundred SHA-256
+# compressions); the commit stores only level hashes >= the cutoff
+# (~n/2^LEVEL_CUTOFF entries instead of ~2n).
+LEVEL_CUTOFF = 8
 
-    def __init__(self, leaf_hashes, root, levels, perm, script_fn):
-        self._leaf_hashes = leaf_hashes
+_TREE_POOL = None
+
+
+def _tree_pool():
+    """Persistent thread pool for native tree builds: worker threads (and
+    their reusable native scratch buffers) survive across commits — fresh
+    scratch every commit would re-fault GBs of pages per prove."""
+    global _TREE_POOL
+    if _TREE_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _TREE_POOL = ThreadPoolExecutor(os.cpu_count() or 4)
+    return _TREE_POOL
+
+
+class SparseNativeTaptree:
+    """Memory-lean taptree: the native commit returns only the root and the
+    level hash arrays at or above LEVEL_CUTOFF; leaf hashes and bottom
+    levels are recomputed per opened query from the shard's values (the
+    branch arrays are position-indexed — the BIP-341 lexicographic pair sort
+    affects only each parent's preimage order, so no permutation bookkeeping
+    exists; verification re-sorts per step)."""
+
+    def __init__(self, root, upper_levels, num_leaves, head, fixed_len, values_shard):
         self.root_hash = root
-        # internal level hash arrays L_1..L_{depth-1}; L_0 = leaf_hashes.
-        # Branch of leaf i = [L_l[(i >> l) ^ 1] for l in 0..depth-1]
-        # (sibling reordering never moves the hash arrays, only perm).
-        self._levels = levels
-        self.leaf_indices = perm.tolist()
-        self._script_fn = script_fn
+        self._upper = upper_levels  # [L_cutoff, ..., L_{depth-1}]
+        self._n = num_leaves
+        self._head = head
+        self._fixed_len = fixed_len
+        self._values = values_shard
 
     def root_words(self) -> list[int]:
         return [
@@ -216,18 +240,37 @@ class NativeTaptree:
         ]
 
     def leaf_count(self) -> int:
-        return len(self.leaf_indices)
+        return self._n
+
+    def _script_fn(self, i: int) -> bytes:
+        return _leaf_script_from_row(
+            self._head, self._fixed_len, i, self._values[i]
+        )
 
     def get_tapleaf(self, logical_index: int) -> LeafNode:
+        from .. import native
+
         i = logical_index
-        branch = [bytes(self._leaf_hashes[i ^ 1])] if self._levels or len(
-            self._leaf_hashes
-        ) > 1 else []
-        for l, lvl_hashes in enumerate(self._levels, start=1):
-            branch.append(bytes(lvl_hashes[(i >> l) ^ 1]))
+        depth = max((self._n - 1).bit_length(), 0)
+        cutoff = min(LEVEL_CUTOFF, depth)
+        block_n = 1 << cutoff
+        base = (i >> cutoff) << cutoff
+        sub = native.tcs_leaf_block_native(
+            self._head,
+            self._fixed_len,
+            self._values[base : base + block_n],
+            base,
+            sha256(b"TapLeaf"),
+            sha256(b"TapBranch"),
+        )
+        branch = [
+            bytes(sub[l][(((i - base) >> l) ^ 1)]) for l in range(cutoff)
+        ]
+        for l in range(cutoff, depth):
+            branch.append(bytes(self._upper[l - cutoff][(i >> l) ^ 1]))
         return LeafNode(
             script=self._script_fn(i),
-            leaf_hash=bytes(self._leaf_hashes[i]),
+            leaf_hash=bytes(sub[0][i - base]),
             merkle_branch=branch,
         )
 
@@ -316,14 +359,18 @@ class TCS:
         from .. import native
 
         if native.get_lib() is not None:
-            leaf_hashes, root, levels, perm = native.tcs_commit_native(
+            depth = max((num_leaves - 1).bit_length(), 0)
+            root, upper = native.tcs_commit_sparse_native(
                 head,
                 fixed_len,
                 values_shard,
                 sha256(b"TapLeaf"),
                 sha256(b"TapBranch"),
+                min(LEVEL_CUTOFF, depth),
             )
-            return NativeTaptree(leaf_hashes, root, levels, perm, script_fn)
+            return SparseNativeTaptree(
+                root, upper, num_leaves, head, fixed_len, values_shard
+            )
         scripts = [script_fn(i) for i in range(num_leaves)]
         return build_taptree(scripts)
 
@@ -359,28 +406,28 @@ class TCS:
         each (mod.rs:284-292). Assignment is sequential (deterministic
         secrets); the native tree builds release the GIL and run on a
         thread pool."""
-        values_np = padding_matrix_np(matrices)
+        from ..utils.profiling import span
+
+        with span("tcs/padding-matrix"):
+            values_np = padding_matrix_np(matrices)
         ext = matrices[0].ext
         bounds = shard_bounds(values_np.shape[1])
-        assignments = [
-            self._assign_rep(bounds, ext) for _ in range(total_query_times)
-        ]
+        with span("tcs/assign-keygen"):
+            assignments = [
+                self._assign_rep(bounds, ext) for _ in range(total_query_times)
+            ]
         from .. import native
 
         if native.get_lib() is not None and total_query_times > 1:
-            import os
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                min(total_query_times, os.cpu_count() or 4)
-            ) as pool:
+            with span("tcs/tree-builds"):
                 return list(
-                    pool.map(
+                    _tree_pool().map(
                         lambda a: self._build(matrices, values_np, a, bounds),
                         assignments,
                     )
                 )
-        return [self._build(matrices, values_np, a, bounds) for a in assignments]
+        with span("tcs/tree-builds"):
+            return [self._build(matrices, values_np, a, bounds) for a in assignments]
 
     def open_with_one_query(
         self, query_times_index: int, query_index: int, prover_data: list[CommitedData]

@@ -77,11 +77,15 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
 
     commits = []
     data = []
+    from ..utils.profiling import span
+
     while folded.shape[0] > config.blowup():
         half = folded.shape[0] // 2
         mat_dev = folded.reshape(half, 2, 4)
-        mat_host = FMatrix(np_from_mont(np.asarray(mat_dev)))
-        commit, prover_data = config.mmcs.commit_matrix(mat_host)
+        with span("fri/layer-fetch"):
+            mat_host = FMatrix(np_from_mont(np.asarray(mat_dev)))
+        with span("fri/layer-commit"):
+            commit, prover_data = config.mmcs.commit_matrix(mat_host)
         challenger.observe_commitment(commit)
 
         beta: EF4 = challenger.sample()

@@ -50,7 +50,7 @@ def _build_and_load():
         ctypes.c_size_t,
         ctypes.c_void_p,
     ]
-    lib.tcs_commit.argtypes = [
+    lib.tcs_commit_sparse.argtypes = [
         ctypes.c_char_p,  # head (constant leaf prefix: all locks, parked)
         ctypes.c_uint64,  # head_len
         ctypes.c_uint64,  # fixed_len (shard-wide padded script length)
@@ -61,10 +61,23 @@ def _build_and_load():
         ctypes.c_char_p,  # tapleaf_tag
         ctypes.c_char_p,  # tapbranch_tag
         ctypes.c_uint8,  # leaf_version
-        ctypes.c_void_p,  # leaf_hashes out
+        ctypes.c_uint32,  # cutoff
         ctypes.c_void_p,  # root out
-        ctypes.c_void_p,  # levels out
-        ctypes.c_void_p,  # perm out
+        ctypes.c_void_p,  # upper_levels out
+    ]
+    lib.tcs_leaf_block.argtypes = [
+        ctypes.c_char_p,  # head
+        ctypes.c_uint64,  # head_len
+        ctypes.c_uint64,  # fixed_len
+        ctypes.c_void_p,  # values (block slice, u32*)
+        ctypes.c_uint32,  # base_index
+        ctypes.c_uint32,  # block_n
+        ctypes.c_uint32,  # num_values
+        ctypes.c_uint32,  # num_limbs
+        ctypes.c_char_p,  # tapleaf_tag
+        ctypes.c_char_p,  # tapbranch_tag
+        ctypes.c_uint8,  # leaf_version
+        ctypes.c_void_p,  # out (2*block_n - 1 hashes)
     ]
     return lib
 
@@ -100,37 +113,35 @@ def winternitz_pubkeys_batch(
     return out
 
 
-def tcs_commit_native(
+def tcs_commit_sparse_native(
     head: bytes,
     fixed_len: int,
     values: np.ndarray,  # (num_leaves, num_values, num_limbs) uint32
     tapleaf_tag_digest: bytes,
     tapbranch_tag_digest: bytes,
+    cutoff: int,
     leaf_version: int = 0xC0,
 ):
-    """Returns (leaf_hashes (n,32) u8, root bytes, levels, perm (n,) u32).
+    """Returns (root bytes, upper_levels: [L_cutoff, ..., L_{depth-1}]).
 
     `head` is the shard's constant leaf prefix (all Winternitz locks in
     parked form); each leaf's script is head || tail(i) || NOP pad to
     fixed_len, and only the ~2 post-midstate blocks are hashed per leaf.
 
-    `levels` is the list of internal level hash arrays [L_1, ..., L_{depth-1}]
-    ((n>>l, 32) u8 each). Leaf i's merkle branch is L_l[(i >> l) ^ 1] for
-    l in 0..depth-1 with L_0 = leaf_hashes: sibling reordering during the
-    ordered tree build swaps only the leaf-position bookkeeping (perm),
-    never the level hash arrays — so branches need no storage of their own
-    (the old (n, depth, 32) output dominated commit memory traffic)."""
+    Memory-lean: leaf hashes and levels below `cutoff` live in reusable
+    thread-local native scratch and are NOT returned — an opening rebuilds
+    its 2^cutoff-leaf block with tcs_leaf_block_native. Level arrays are
+    position-indexed (the BIP-341 lexicographic pair sort affects only each
+    parent's preimage order), so leaf i's branch is L_l[(i >> l) ^ 1]."""
     lib = get_lib()
     assert lib is not None
     num_leaves, num_values, num_limbs = values.shape
     depth = max((num_leaves - 1).bit_length(), 0)
     vals = np.ascontiguousarray(values, dtype=np.uint32)
-    leaf_hashes = np.empty((num_leaves, 32), dtype=np.uint8)
     root = np.empty(32, dtype=np.uint8)
-    n_internal = sum(num_leaves >> l for l in range(1, depth))
-    levels_flat = np.empty((n_internal, 32), dtype=np.uint8)
-    perm = np.empty(num_leaves, dtype=np.uint32)
-    lib.tcs_commit(
+    n_upper = sum(num_leaves >> l for l in range(max(cutoff, 1), depth))
+    upper_flat = np.empty((n_upper, 32), dtype=np.uint8)
+    lib.tcs_commit_sparse(
         head,
         len(head),
         fixed_len,
@@ -141,15 +152,57 @@ def tcs_commit_native(
         tapleaf_tag_digest,
         tapbranch_tag_digest,
         leaf_version,
-        leaf_hashes.ctypes.data,
+        cutoff,
         root.ctypes.data,
-        levels_flat.ctypes.data,
-        perm.ctypes.data,
+        upper_flat.ctypes.data,
+    )
+    upper = []
+    off = 0
+    for l in range(max(cutoff, 1), depth):
+        sz = num_leaves >> l
+        upper.append(upper_flat[off : off + sz])
+        off += sz
+    return bytes(root), upper
+
+
+def tcs_leaf_block_native(
+    head: bytes,
+    fixed_len: int,
+    values_block: np.ndarray,  # (block_n, num_values, num_limbs) uint32
+    base_index: int,
+    tapleaf_tag_digest: bytes,
+    tapbranch_tag_digest: bytes,
+    leaf_version: int = 0xC0,
+):
+    """Rebuild one opening block: returns [S_0 (block_n,32), S_1, ..., S_k]
+    — the block's leaf hashes (absolute indices base_index..+block_n) and
+    every sub-level hash array up to the block root."""
+    lib = get_lib()
+    assert lib is not None
+    block_n, num_values, num_limbs = values_block.shape
+    vals = np.ascontiguousarray(values_block, dtype=np.uint32)
+    out = np.empty((2 * block_n - 1, 32), dtype=np.uint8)
+    lib.tcs_leaf_block(
+        head,
+        len(head),
+        fixed_len,
+        vals.ctypes.data,
+        base_index,
+        block_n,
+        num_values,
+        num_limbs,
+        tapleaf_tag_digest,
+        tapbranch_tag_digest,
+        leaf_version,
+        out.ctypes.data,
     )
     levels = []
     off = 0
-    for l in range(1, depth):
-        sz = num_leaves >> l
-        levels.append(levels_flat[off : off + sz])
+    sz = block_n
+    while sz >= 1:
+        levels.append(out[off : off + sz])
         off += sz
-    return leaf_hashes, bytes(root), levels, perm
+        if sz == 1:
+            break
+        sz //= 2
+    return levels

@@ -565,9 +565,7 @@ void sha256_batch(const uint8_t* data, const uint64_t* offsets, size_t n,
                      out + 32 * i);
 }
 
-// TCS commit: hash every tapleaf from the shard's shared SHA-256 midstate,
-// build the ordered taptree, and emit level hashes + the logical->physical
-// permutation.
+// Sparse TCS commit.
 //
 // Leaf i script (constant-head layout) = head || tail(i) || OP_NOP pad to
 // fixed_len, where head = all Winternitz locks (parking recovered limbs on
@@ -579,70 +577,80 @@ void sha256_batch(const uint8_t* data, const uint64_t* offsets, size_t n,
 // (prefix remainder || tail || pad). The reference rehashes the multi-KB
 // lock bytes per leaf (basic/src/tcs/mod.rs:197-226).
 //
-// values: num_leaves * num_values * num_limbs u32 (canonical)
-// tapleaf_tag / tapbranch_tag: 32-byte sha256 digests of the tag strings
-// leaf_version: 0xc0
-// outputs: leaf_hashes (num_leaves*32), root (32),
-//          levels (concatenated internal level hashes L_1..L_{depth-1},
-//          sizes n/2 + n/4 + ... + 2, 32 bytes each; leaf i's merkle branch
-//          is [L_l[(i>>l)^1] for l in 0..depth-1] with L_0 = leaf_hashes —
-//          sibling reordering swaps only the leaf-position bookkeeping
-//          (perm), never the level hash arrays),
-//          perm (num_leaves u32: logical -> physical)
-void tcs_commit(const uint8_t* head, uint64_t head_len, uint64_t fixed_len,
-                const uint32_t* values, uint32_t num_leaves,
-                uint32_t num_values, uint32_t num_limbs,
-                const uint8_t* tapleaf_tag, const uint8_t* tapbranch_tag,
-                uint8_t leaf_version, uint8_t* leaf_hashes, uint8_t* root,
-                uint8_t* levels, uint32_t* perm) {
+// MEMORY-LEAN DESIGN: the commit emits ONLY the level hash arrays at or
+// above `cutoff` (L_cutoff .. L_{depth-1}, ~n/2^cutoff entries total) plus
+// the root. Leaf hashes and the bottom levels live in thread-local scratch
+// that is reused across calls (query repetitions / FRI layers) — the
+// dominant commit allocation (n x 32B leaf hashes + n x 32B levels, GBs at
+// 2^20-row configs) never persists. An opening recomputes its leaf's
+// 2^cutoff-leaf block with tcs_leaf_block (a few hundred compressions) and
+// takes the upper siblings from the stored arrays. Branch of leaf i =
+// [S_l[block-local sibling] for l < cutoff] ++ [L_l[(i>>l)^1] for l >=
+// cutoff]: the ordered (BIP-341 lexicographic) pair sort affects only each
+// parent's preimage order, never the position-indexed hash arrays, so no
+// permutation bookkeeping is needed (verification re-sorts per step).
 
-  // shared midstate over tag||tag || leaf_version || csize || head
+namespace tcsimpl {
+
+struct LeafHasher {
+  // shared midstate over tag||tag || leaf_version || csize(fixed_len) ||
+  // full head blocks; per-leaf work = rem bytes || tail region || sha pad.
   uint32_t leafmid[8];
-  memcpy(leafmid, sha256impl::INIT, 32);
-  {
+  size_t rem;               // head prefix bytes left after full blocks
+  const uint8_t* remp;      // pointer into prefix storage
+  std::vector<uint8_t> prefix;
+  size_t tail_region;       // fixed_len - head_len (tail + NOP pad)
+  size_t L;                 // message bytes after the midstate
+  size_t Pb;                // padded length (multiple of 64)
+  size_t nblocks;
+  uint64_t bits;
+  const uint32_t* values;   // rows at ABSOLUTE leaf index
+  uint32_t num_values, num_limbs;
+
+  LeafHasher(const uint8_t* head, uint64_t head_len, uint64_t fixed_len,
+             const uint32_t* values_, uint32_t num_values_,
+             uint32_t num_limbs_, const uint8_t* tapleaf_tag,
+             uint8_t leaf_version)
+      : values(values_), num_values(num_values_), num_limbs(num_limbs_) {
+    memcpy(leafmid, sha256impl::INIT, 32);
     uint8_t tagblk[64];
     memcpy(tagblk, tapleaf_tag, 32);
     memcpy(tagblk + 32, tapleaf_tag, 32);
     sha256impl::sha_block(leafmid, tagblk);
+    prefix.push_back(leaf_version);
+    if (fixed_len < 0xfd) {
+      prefix.push_back(uint8_t(fixed_len));
+    } else if (fixed_len <= 0xffff) {
+      prefix.push_back(0xfd);
+      prefix.push_back(uint8_t(fixed_len & 0xff));
+      prefix.push_back(uint8_t(fixed_len >> 8));
+    } else {
+      prefix.push_back(0xfe);
+      for (int b = 0; b < 4; b++)
+        prefix.push_back(uint8_t(fixed_len >> (8 * b)));
+    }
+    prefix.insert(prefix.end(), head, head + head_len);
+    size_t full = prefix.size() / 64;
+    for (size_t k = 0; k < full; k++)
+      sha256impl::sha_block(leafmid, prefix.data() + 64 * k);
+    rem = prefix.size() % 64;
+    remp = prefix.data() + 64 * full;
+    tail_region = size_t(fixed_len) - size_t(head_len);
+    L = rem + tail_region;
+    Pb = (L + 9 + 63) & ~size_t(63);
+    nblocks = Pb / 64;
+    bits = (uint64_t(64) + prefix.size() + tail_region) * 8;
   }
-  std::vector<uint8_t> prefix;
-  prefix.push_back(leaf_version);
-  if (fixed_len < 0xfd) {
-    prefix.push_back(uint8_t(fixed_len));
-  } else if (fixed_len <= 0xffff) {
-    prefix.push_back(0xfd);
-    prefix.push_back(uint8_t(fixed_len & 0xff));
-    prefix.push_back(uint8_t(fixed_len >> 8));
-  } else {
-    prefix.push_back(0xfe);
-    for (int b = 0; b < 4; b++) prefix.push_back(uint8_t(fixed_len >> (8 * b)));
-  }
-  prefix.insert(prefix.end(), head, head + head_len);
-  size_t full = prefix.size() / 64;
-  for (size_t k = 0; k < full; k++)
-    sha256impl::sha_block(leafmid, prefix.data() + 64 * k);
-  const size_t rem = prefix.size() % 64;
-  const uint8_t* remp = prefix.data() + 64 * full;
 
-  // per-leaf message: rem bytes || tail region (fixed_len - head_len bytes,
-  // NOP-padded) || sha padding — a constant block count for the whole shard
-  const size_t tail_region = size_t(fixed_len) - size_t(head_len);
-  const size_t L = rem + tail_region;  // message bytes after the midstate
-  const size_t P = (L + 9 + 63) & ~size_t(63);
-  const size_t nblocks = P / 64;
-  const uint64_t bits = (uint64_t(64) + prefix.size() + tail_region) * 8;
-  std::vector<uint8_t> bufa(P), bufb(P);
-  auto init_buf = [&](uint8_t* ob) {
+  void init_buf(uint8_t* ob) const {
     memcpy(ob, remp, rem);
     ob[L] = 0x80;
-    memset(ob + L + 1, 0, P - L - 1 - 8);
-    for (int b = 0; b < 8; b++) ob[P - 8 + b] = uint8_t(bits >> (56 - 8 * b));
-  };
-  init_buf(bufa.data());
-  init_buf(bufb.data());
+    memset(ob + L + 1, 0, Pb - L - 1 - 8);
+    for (int b = 0; b < 8; b++) ob[Pb - 8 + b] = uint8_t(bits >> (56 - 8 * b));
+  }
 
-  // write tail(i) + NOP pad into the tail region
-  auto assemble = [&](uint32_t i, uint8_t* ob) {
+  // write tail(i) + NOP pad into the tail region (i = absolute leaf index)
+  void assemble(uint32_t i, uint8_t* ob) const {
     const uint32_t* row = values + size_t(i) * num_values * num_limbs;
     size_t off = rem;
     for (int v = int(num_values) - 1; v >= 0; v--) {
@@ -657,109 +665,170 @@ void tcs_commit(const uint8_t* head, uint64_t head_len, uint64_t fixed_len,
     ob[off++] = 0x88;
     ob[off++] = 0x51;  // OP_1
     memset(ob + off, 0x61, rem + tail_region - off);  // OP_NOP pad
-  };
-
-  uint32_t li = 0;
-  for (; li + 1 < num_leaves; li += 2) {
-    assemble(li, bufa.data());
-    assemble(li + 1, bufb.data());
-    uint32_t hA[8], hB[8];
-    memcpy(hA, leafmid, 32);
-    memcpy(hB, leafmid, 32);
-    for (size_t k = 0; k < nblocks; k++)
-      sha256impl::sha_block2(hA, hB, bufa.data() + 64 * k,
-                             bufb.data() + 64 * k);
-    sha256impl::sha_digest(hA, leaf_hashes + 32 * li);
-    sha256impl::sha_digest(hB, leaf_hashes + 32 * (li + 1));
-  }
-  for (; li < num_leaves; li++) {
-    assemble(li, bufa.data());
-    uint32_t hA[8];
-    memcpy(hA, leafmid, 32);
-    for (size_t k = 0; k < nblocks; k++)
-      sha256impl::sha_block(hA, bufa.data() + 64 * k);
-    sha256impl::sha_digest(hA, leaf_hashes + 32 * li);
   }
 
-  // tree build with ordered combination
-  std::vector<uint8_t> level(size_t(num_leaves) * 32);
-  memcpy(level.data(), leaf_hashes, size_t(num_leaves) * 32);
-  std::vector<uint32_t> order(num_leaves);  // physical pos -> leaf id
-  for (uint32_t i = 0; i < num_leaves; i++) order[i] = i;
+  // hash leaves [base, base + count) into out (count * 32 bytes), two
+  // interleaved SHA-NI streams.
+  void hash_range(uint32_t base, uint32_t count, uint8_t* out) const {
+    std::vector<uint8_t> bufa(Pb), bufb(Pb);
+    init_buf(bufa.data());
+    init_buf(bufb.data());
+    uint32_t j = 0;
+    for (; j + 1 < count; j += 2) {
+      assemble(base + j, bufa.data());
+      assemble(base + j + 1, bufb.data());
+      uint32_t hA[8], hB[8];
+      memcpy(hA, leafmid, 32);
+      memcpy(hB, leafmid, 32);
+      for (size_t k = 0; k < nblocks; k++)
+        sha256impl::sha_block2(hA, hB, bufa.data() + 64 * k,
+                               bufb.data() + 64 * k);
+      sha256impl::sha_digest(hA, out + 32 * size_t(j));
+      sha256impl::sha_digest(hB, out + 32 * size_t(j + 1));
+    }
+    for (; j < count; j++) {
+      assemble(base + j, bufa.data());
+      uint32_t hA[8];
+      memcpy(hA, leafmid, 32);
+      for (size_t k = 0; k < nblocks; k++)
+        sha256impl::sha_block(hA, bufa.data() + 64 * k);
+      sha256impl::sha_digest(hA, out + 32 * size_t(j));
+    }
+  }
+};
 
-  // branch midstate + the constant second block (message = 128 bytes after
-  // the tag block: two child hashes, then 0x80 padding with bitlen 1024)
+struct BranchHasher {
   uint32_t branchmid[8];
-  memcpy(branchmid, sha256impl::INIT, 32);
-  {
+  uint8_t padb[64];  // constant second block: 0x80 pad, bitlen 1024
+
+  explicit BranchHasher(const uint8_t* tapbranch_tag) {
+    memcpy(branchmid, sha256impl::INIT, 32);
     uint8_t tagblk[64];
     memcpy(tagblk, tapbranch_tag, 32);
     memcpy(tagblk + 32, tapbranch_tag, 32);
     sha256impl::sha_block(branchmid, tagblk);
+    memset(padb, 0, 64);
+    padb[0] = 0x80;
+    padb[62] = 0x04;  // bitlen = (64 tag + 64 msg) * 8 = 1024, BE
   }
-  uint8_t padb[64];
-  memset(padb, 0, 64);
-  padb[0] = 0x80;
-  padb[62] = 0x04;  // bitlen = (64 tag + 64 msg bytes) * 8 = 1024, BE
 
-  uint32_t count = num_leaves;
-  int lvl = 0;
-  std::vector<uint8_t> next;
-  std::vector<uint8_t> pin;
-  while (count > 1) {
-    uint32_t parents = count / 2;
-    next.assign(size_t(parents) * 32, 0);
-    pin.resize(size_t(parents) * 64);
-    uint32_t block = 1u << lvl;  // leaves per node
+  // one level: parent k = tagged(TapBranch, sort(child 2k, child 2k+1));
+  // position-indexed (the sort touches only the preimage order).
+  void level(const uint8_t* children, uint32_t count, uint8_t* parents,
+             std::vector<uint8_t>& pin) const {
+    uint32_t np = count / 2;
+    pin.resize(size_t(np) * 64);
     for (uint32_t k = 0; k + 1 < count; k += 2) {
-      const uint8_t* ha = level.data() + size_t(k) * 32;
-      const uint8_t* hb = level.data() + size_t(k + 1) * 32;
-      bool left_first = memcmp(ha, hb, 32) <= 0;
-      // parent = tagged(TapBranch, min || max)
+      const uint8_t* ha = children + size_t(k) * 32;
+      const uint8_t* hb = children + size_t(k + 1) * 32;
       uint8_t* dst = pin.data() + size_t(k / 2) * 64;
-      if (left_first) {
+      if (memcmp(ha, hb, 32) <= 0) {
         memcpy(dst, ha, 32);
         memcpy(dst + 32, hb, 32);
       } else {
         memcpy(dst, hb, 32);
         memcpy(dst + 32, ha, 32);
-        // swap the physical leaf ranges of a and b
-        for (uint32_t j = 0; j < block; j++) {
-          uint32_t tmp = order[k * block + j];
-          order[k * block + j] = order[(k + 1) * block + j];
-          order[(k + 1) * block + j] = tmp;
-        }
       }
     }
     uint32_t pj = 0;
-    for (; pj + 1 < parents; pj += 2) {
+    for (; pj + 1 < np; pj += 2) {
       uint32_t hJ[8], hK[8];
       memcpy(hJ, branchmid, 32);
       memcpy(hK, branchmid, 32);
       sha256impl::sha_block2(hJ, hK, pin.data() + size_t(pj) * 64,
                              pin.data() + size_t(pj + 1) * 64);
       sha256impl::sha_block2(hJ, hK, padb, padb);
-      sha256impl::sha_digest(hJ, next.data() + size_t(pj) * 32);
-      sha256impl::sha_digest(hK, next.data() + size_t(pj + 1) * 32);
+      sha256impl::sha_digest(hJ, parents + size_t(pj) * 32);
+      sha256impl::sha_digest(hK, parents + size_t(pj) * 32 + 32);
     }
-    for (; pj < parents; pj++) {
+    for (; pj < np; pj++) {
       uint32_t hJ[8];
       memcpy(hJ, branchmid, 32);
       sha256impl::sha_block(hJ, pin.data() + size_t(pj) * 64);
       sha256impl::sha_block(hJ, padb);
-      sha256impl::sha_digest(hJ, next.data() + size_t(pj) * 32);
+      sha256impl::sha_digest(hJ, parents + size_t(pj) * 32);
     }
-    if (parents > 1) {
-      memcpy(levels, next.data(), size_t(parents) * 32);
-      levels += size_t(parents) * 32;
-    }
-    level.swap(next);
-    count = parents;
-    lvl++;
   }
-  memcpy(root, level.data(), 32);
-  // perm: logical leaf id -> physical position
-  for (uint32_t pos = 0; pos < num_leaves; pos++) perm[order[pos]] = pos;
+};
+
+// thread-local scratch reused across commits: the bottom-of-tree hash
+// arrays never persist and never re-fault fresh pages.
+thread_local std::vector<uint8_t> g_scratch_a;
+thread_local std::vector<uint8_t> g_scratch_b;
+thread_local std::vector<uint8_t> g_scratch_pin;
+
+}  // namespace tcsimpl
+
+// Sparse TCS commit: hash every tapleaf from the shard's shared SHA-256
+// midstate, build the taptree in reusable thread-local scratch, and emit
+// only the root plus the level hash arrays at or above `cutoff`
+// (upper_levels = concat of L_cutoff .. L_{depth-1}; sizes n>>cutoff down
+// to 2; empty when depth <= cutoff).
+void tcs_commit_sparse(const uint8_t* head, uint64_t head_len,
+                       uint64_t fixed_len, const uint32_t* values,
+                       uint32_t num_leaves, uint32_t num_values,
+                       uint32_t num_limbs, const uint8_t* tapleaf_tag,
+                       const uint8_t* tapbranch_tag, uint8_t leaf_version,
+                       uint32_t cutoff, uint8_t* root, uint8_t* upper_levels) {
+  using namespace tcsimpl;
+  LeafHasher lh(head, head_len, fixed_len, values, num_values, num_limbs,
+                tapleaf_tag, leaf_version);
+  g_scratch_a.resize(size_t(num_leaves) * 32);
+  lh.hash_range(0, num_leaves, g_scratch_a.data());
+  if (num_leaves == 1) {
+    memcpy(root, g_scratch_a.data(), 32);
+    return;
+  }
+  BranchHasher bh(tapbranch_tag);
+  g_scratch_b.resize(size_t(num_leaves) * 16);
+  uint8_t* cur = g_scratch_a.data();
+  uint8_t* nxt = g_scratch_b.data();
+  uint32_t count = num_leaves;
+  uint32_t lvl = 0;
+  while (count > 1) {
+    bh.level(cur, count, nxt, g_scratch_pin);
+    count /= 2;
+    lvl++;
+    if (count > 1 && lvl >= cutoff) {
+      memcpy(upper_levels, nxt, size_t(count) * 32);
+      upper_levels += size_t(count) * 32;
+    }
+    uint8_t* t = cur;
+    cur = nxt;
+    nxt = t;
+  }
+  memcpy(root, cur, 32);
+}
+
+// Rebuild one 2^k-leaf block for an opening: leaf hashes (absolute indices
+// [base, base+block_n)) followed by every sub-level up to the block root.
+// out layout: S_0 (block_n x 32) || S_1 (block_n/2 x 32) || ... || S_k (32).
+// values points at the BLOCK's first row (caller slices).
+void tcs_leaf_block(const uint8_t* head, uint64_t head_len,
+                    uint64_t fixed_len, const uint32_t* values,
+                    uint32_t base_index, uint32_t block_n,
+                    uint32_t num_values, uint32_t num_limbs,
+                    const uint8_t* tapleaf_tag, const uint8_t* tapbranch_tag,
+                    uint8_t leaf_version, uint8_t* out) {
+  using namespace tcsimpl;
+  // shift values back so LeafHasher's absolute-index row lookup lands on
+  // the caller's block slice
+  const uint32_t* vbase =
+      values - size_t(base_index) * num_values * num_limbs;
+  LeafHasher lh(head, head_len, fixed_len, vbase, num_values, num_limbs,
+                tapleaf_tag, leaf_version);
+  lh.hash_range(base_index, block_n, out);
+  if (block_n == 1) return;
+  BranchHasher bh(tapbranch_tag);
+  std::vector<uint8_t> pin;
+  uint8_t* cur = out;
+  uint32_t count = block_n;
+  while (count > 1) {
+    uint8_t* nxt = cur + size_t(count) * 32;
+    bh.level(cur, count, nxt, pin);
+    cur = nxt;
+    count /= 2;
+  }
 }
 
 }  // extern "C"
