@@ -55,6 +55,14 @@ from .proof import FriProof
 
 _lde_jit = jax.jit(coset_lde_batch_auto, static_argnames=("log_blowup", "shift"))
 
+# Script-verifier spill thresholds (see generate_verify_expr.open_input):
+# a segment's witness must leave execution headroom under Bitcoin's
+# 1000-element stack, so a query script gets ~700 witness limbs and wide
+# reduced-opening groups spill into chained sub-scripts of <=120 columns
+# (5 limbs each: EF4 p_at_z + base p_at_x) plus boundary accumulators.
+_STACK_BUDGET = 700
+_SPILL_COLS = 120
+
 
 @dataclass
 class BatchOpening:
@@ -333,8 +341,10 @@ class TwoAdicFriPcs:
 
         fri_challenges = fri_script.bf_sample_challenges(self.fri, proof, challenger)
 
-        def open_input(query_times_index, index, input_proof, manager):
-            reduced_openings: dict[int, list] = {}
+        def open_input(query_times_index, index, input_proof, manager, manager_assign):
+            # pass 1: native batch verification + flatten the per-(matrix,
+            # point) reduction work in assignment order
+            groups = []  # (log_height, x_minus_z, ps_at_z, mat_opening)
             for batch_opening, (batch_commit, mats) in zip(input_proof, rounds):
                 if not self.mmcs.verify_batch(
                     query_times_index,
@@ -355,35 +365,98 @@ class TwoAdicFriPcs:
                     x = F.generator() * F.two_adic_generator(log_height).exp(
                         rev_reduced_index
                     )
-
-                    state = reduced_openings.setdefault(
-                        log_height,
-                        [EF4.one(), Expr.constant(EF4.zero())],
-                    )
                     for z, ps_at_z in mat_points_and_values:
-                        # p_at_z is assigned POSITIVELY (the reference assigns
-                        # -p_at_z, two_adic_pcs.rs:652): the same opened values
-                        # appear positively in the quotient/constraint
-                        # segments, so positive assignment dedups their u32
-                        # bit commitments across segments.
-                        acc = Expr.constant(EF4.zero())
-                        for p_at_x, p_at_z in zip(mat_opening, ps_at_z):
-                            acc = acc - Expr.constant(state[0]) * (
-                                manager.assign_input_f(p_at_z)
-                                - manager.assign_input_f(p_at_x)
-                            )
-                            state[0] = state[0] * alpha
-                        x_minus_z = -z + EF4.from_base(x)
-                        inv = manager.assign_hint_input_f(x_minus_z.inverse())
-                        manager.add_hint_verify(
-                            (Expr.constant(x_minus_z) * inv).equal_verify_for_f(
-                                EF4.one()
-                            )
+                        groups.append(
+                            (log_height, -z + EF4.from_base(x), ps_at_z, mat_opening)
                         )
-                        state[1] = state[1] + acc * inv
+
+            # pass 2: emit. A query script's witness must fit Bitcoin's
+            # 1000-element stack; wide matrices SPILL their reduced-opening
+            # sum into chained sub-scripts ("ro-part:k") whose running EF4
+            # accumulators are bit-committed at the boundaries — the main
+            # query script consumes one committed group value per spilled
+            # group. Small configs keep the round-1 inline emission.
+            fold_limbs = 12 * len(proof.commit_phase_commits) + 8
+            budget = _STACK_BUDGET - fold_limbs
+            alpha_pows: dict[int, EF4] = {}
+            ro_exprs: dict[int, Expr] = {}
+            part = 0
+
+            def _ef(v):
+                return v if isinstance(v, EF4) else EF4.from_base(v)
+
+            for log_height, x_minus_z, ps_at_z, mat_opening in groups:
+                ap = alpha_pows.setdefault(log_height, EF4.one())
+                ro = ro_exprs.setdefault(log_height, Expr.constant(EF4.zero()))
+                inv_native = x_minus_z.inverse()
+                group_limbs = 5 * len(ps_at_z) + 4
+                if group_limbs <= budget:
+                    budget -= group_limbs
+                    # p_at_z is assigned POSITIVELY (the reference assigns
+                    # -p_at_z, two_adic_pcs.rs:652): the same opened values
+                    # appear positively in the quotient/constraint segments,
+                    # so positive assignment dedups their u32 bit commitments
+                    # across segments.
+                    acc = Expr.constant(EF4.zero())
+                    for p_at_x, p_at_z in zip(mat_opening, ps_at_z):
+                        acc = acc - Expr.constant(ap) * (
+                            manager.assign_input_f(p_at_z)
+                            - manager.assign_input_f(p_at_x)
+                        )
+                        ap = ap * alpha
+                    inv = manager.assign_hint_input_f(inv_native)
+                    manager.add_hint_verify(
+                        (Expr.constant(x_minus_z) * inv).equal_verify_for_f(
+                            EF4.one()
+                        )
+                    )
+                    ro_exprs[log_height] = ro + acc * inv
+                else:
+                    budget -= 4  # the committed group value in the main script
+                    s_native = EF4.zero()
+                    s_expr = None
+                    cols = list(zip(mat_opening, ps_at_z))
+                    while cols:
+                        chunk, cols = cols[:_SPILL_COLS], cols[_SPILL_COLS:]
+                        sub = manager_assign.next_manager(
+                            f"fri-pcs-verify query_index:{index} ro-part:{part}"
+                        )
+                        part += 1
+                        s_expr = (
+                            Expr.constant(EF4.zero())
+                            if s_expr is None
+                            else sub.assign_input_f(s_native)
+                        )
+                        for p_at_x, p_at_z in chunk:
+                            s_expr = s_expr - Expr.constant(ap) * (
+                                sub.assign_input_f(p_at_z)
+                                - sub.assign_input_f(p_at_x)
+                            )
+                            s_native = s_native - ap * (_ef(p_at_z) - _ef(p_at_x))
+                            ap = ap * alpha
+                        if cols:
+                            sub.set_exec_dsl(
+                                s_expr.equal_verify(sub.assign_input_f(s_native))
+                            )
+                        else:
+                            inv_in = sub.assign_hint_input_f(inv_native)
+                            sub.add_hint_verify(
+                                (Expr.constant(x_minus_z) * inv_in)
+                                .equal_verify_for_f(EF4.one())
+                            )
+                            g_native = s_native * inv_native
+                            sub.set_exec_dsl(
+                                (s_expr * inv_in).equal_verify(
+                                    sub.assign_input_f(g_native)
+                                )
+                            )
+                            ro_exprs[log_height] = ro + manager.assign_input_f(
+                                g_native
+                            )
+                alpha_pows[log_height] = ap
             return [
-                (lh, reduced_openings[lh][1])
-                for lh in sorted(reduced_openings.keys(), reverse=True)
+                (lh, ro_exprs[lh])
+                for lh in sorted(ro_exprs.keys(), reverse=True)
             ]
 
         return fri_script.bf_verify_challenges(

@@ -73,9 +73,11 @@ def bf_verify_challenges(
     challenges: FriChallenges,
     open_input,
 ) -> ManagerAssign:
-    """open_input(qti, query_index, input_proof, manager) ->
+    """open_input(qti, query_index, input_proof, manager, manager_assign) ->
     list[(log_height, reduced-opening Expr)] descending. Builds one manager
-    per FRI query (reference fri/src/script_verifier.rs:85-140)."""
+    per FRI query (reference fri/src/script_verifier.rs:85-140); wide traces
+    may spill the reduced-opening computation into extra chained sub-managers
+    (see TwoAdicFriPcs.generate_verify_expr)."""
     log_max_height = len(proof.commit_phase_commits) + config.log_blowup
     manager_assign = ManagerAssign()
     for (qti, query_index), query_proof in zip(
@@ -84,7 +86,9 @@ def bf_verify_challenges(
         manager = manager_assign.next_manager(
             f"fri-pcs-verify query_index:{query_index}"
         )
-        ro = open_input(qti, query_index, query_proof.input_proof, manager)
+        ro = open_input(
+            qti, query_index, query_proof.input_proof, manager, manager_assign
+        )
         folded_eval = _bf_verify_query(
             config,
             proof,

@@ -24,7 +24,10 @@ from dataclasses import dataclass, field
 from ..air.folders import VerifierConstraintFolder
 from ..air.symbolic import get_log_quotient_degree
 from ..challenger import BfChallenger
-from ..dsl.constraint_builder import ScriptConstraintBuilder
+from ..dsl.constraint_builder import (
+    ScriptConstraintBuilder,
+    emit_sharded_constraints,
+)
 from ..dsl.expr import Expr, InputManager, ManagerAssign
 from ..dsl.lagrange import selectors_at_point_expr
 from ..dsl.value_counter import ValueCounter
@@ -213,23 +216,43 @@ def generate_script_verifier(
     if folded_constraints * sels.inv_zeroifier != quotient:
         raise VerificationError("OodEvaluationMismatch")
 
-    # trace-constraint script
-    constraint_manager = manager_assign.next_manager("trace-constraints")
+    # trace-constraint script. Wide AIRs (openings alone would exceed the
+    # 1000-element stack) shard into chunked accumulator scripts with
+    # bit-committed boundaries (dsl/constraint_builder.py).
     sels_expr = selectors_at_point_expr(F.one(), zeta, proof.degree_bits)
-    script_folder = ScriptConstraintBuilder(
-        constraint_manager,
-        ov.trace_local,
-        ov.trace_next,
-        public_values,
-        sels_expr.is_first_row,
-        sels_expr.is_last_row,
-        sels_expr.is_transition,
-        alpha,
-    )
-    air.eval(script_folder)
-    constraint_manager.set_exec_dsl(
-        script_folder.accumulator_expr().equal_verify_for_f(folded_constraints)
-    )
+    if 8 * air_width + len(public_values) <= 600:
+        constraint_manager = manager_assign.next_manager("trace-constraints")
+        script_folder = ScriptConstraintBuilder(
+            constraint_manager,
+            ov.trace_local,
+            ov.trace_next,
+            public_values,
+            sels_expr.is_first_row,
+            sels_expr.is_last_row,
+            sels_expr.is_transition,
+            alpha,
+        )
+        air.eval(script_folder)
+        constraint_manager.set_exec_dsl(
+            script_folder.accumulator_expr().equal_verify_for_f(
+                folded_constraints
+            )
+        )
+    else:
+        recording = ScriptConstraintBuilder(
+            None,
+            ov.trace_local,
+            ov.trace_next,
+            public_values,
+            sels_expr.is_first_row,
+            sels_expr.is_last_row,
+            sels_expr.is_transition,
+            alpha,
+        )
+        air.eval(recording)
+        emit_sharded_constraints(
+            manager_assign, recording, alpha, folded_constraints
+        )
 
     report = ScriptVerifierReport()
     counter = ValueCounter()
