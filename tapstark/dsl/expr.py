@@ -89,14 +89,32 @@ class Expr:
         return EXT if EXT in (a.vtype, b.vtype) else BASE
 
     # -- operators ---------------------------------------------------------
+    # Constant subtrees FOLD at construction (ops on two consts evaluate
+    # natively): emission-time values like zeta-derived selector factors and
+    # generator-power products become single pushes instead of in-script
+    # arithmetic — e.g. the quotient segment's (zeta/a * g^-j)^degree
+    # numerators, which would otherwise cost log2(degree) Karatsuba squares.
+    @staticmethod
+    def _fold2(a: "Expr", b: "Expr", f):
+        va, vb = a.meta, b.meta
+        if isinstance(va, F) and isinstance(vb, EF4):
+            va = EF4.from_base(va)
+        if isinstance(vb, F) and isinstance(va, EF4):
+            vb = EF4.from_base(vb)
+        return Expr.constant(f(va, vb))
+
     def __add__(self, other):
         other = self._coerce(other)
+        if self.kind == "const" and other.kind == "const":
+            return self._fold2(self, other, lambda x, y: x + y)
         return Expr("add", self._arith_type(self, other), [self, other])
 
     __radd__ = __add__
 
     def __sub__(self, other):
         other = self._coerce(other)
+        if self.kind == "const" and other.kind == "const":
+            return self._fold2(self, other, lambda x, y: x - y)
         return Expr("sub", self._arith_type(self, other), [self, other])
 
     def __rsub__(self, other):
@@ -104,21 +122,31 @@ class Expr:
 
     def __mul__(self, other):
         other = self._coerce(other)
+        if self.kind == "const" and other.kind == "const":
+            return self._fold2(self, other, lambda x, y: x * y)
         return Expr("mul", self._arith_type(self, other), [self, other])
 
     __rmul__ = __mul__
 
     def __neg__(self):
+        if self.kind == "const":
+            return Expr.constant(-self.meta)
         return Expr("neg", self.vtype, [self])
 
     def square(self):
+        if self.kind == "const":
+            return Expr.constant(self.meta * self.meta)
         return Expr("square", self.vtype, [self])
 
     def double(self):
+        if self.kind == "const":
+            return Expr.constant(self.meta + self.meta)
         return Expr("double", self.vtype, [self])
 
     def exp_const(self, n: int):
         assert n >= 1
+        if self.kind == "const":
+            return Expr.constant(self.meta.exp(n))
         return Expr("exp_const", self.vtype, [self], int(n))
 
     @staticmethod
@@ -146,6 +174,8 @@ class Expr:
     def to_ext(self):
         if self.vtype == EXT:
             return self
+        if self.kind == "const":
+            return Expr.constant(EF4.from_base(self.meta))
         return Expr("to_ext", EXT, [self])
 
     # -- index (number) operations ----------------------------------------
@@ -654,6 +684,32 @@ def compile_program(
             if source_map is not None:
                 source_map.append((start, len(sb), f"lookup:{e.vtype}#{e.id}"))
             return
+        if e.kind == "mul" and any(c.kind == "const" for c in e.children):
+            # multiply-by-constant: skip pushing the constant operand and use
+            # the fixed double-and-add / constant-Karatsuba gadgets (both-
+            # const products fold at construction and never reach here)
+            ca, cb = e.children
+            const_e, dyn = (ca, cb) if ca.kind == "const" else (cb, ca)
+            if dyn.kind != "const":
+                emit(dyn)
+                start = len(sb) if source_map is not None else 0
+                v = const_e.meta
+                if e.vtype == BASE:
+                    sb.extend(g.u31_mul_by_constant(v.v))
+                elif dyn.vtype == BASE:
+                    assert isinstance(v, EF4)
+                    sb.extend(g.u31_mul_by_ext_constant([int(x) for x in v.c]))
+                elif isinstance(v, F):
+                    sb.extend(g.u31ext_mul_by_constant([v.v, 0, 0, 0]))
+                else:
+                    sb.extend(g.u31ext_mul_by_constant([int(x) for x in v.c]))
+                stack.pop_temp(_size_of_type(dyn.vtype))
+                stack.push_temp(size)
+                if source_map is not None:
+                    source_map.append(
+                        (start, len(sb), f"mul_const:{e.vtype}#{e.id}")
+                    )
+                return
         for c in e.children:
             emit(c)
         start = len(sb) if source_map is not None else 0
@@ -679,9 +735,11 @@ def compile_program(
             collect(c)
         if e.kind == "table" or (
             counts.get(e.id, 0) > 1
-            and e.kind != "input"
+            and e.kind not in ("input", "const", "const_num")
             and _size_of_type(e.vtype) > 0
         ):
+            # consts are never retained: re-pushing one costs no more than
+            # the OP_PICK copies a retained slot would
             shared.append(e)
 
     for r in roots:

@@ -406,5 +406,131 @@ def _u31ext_mul_karatsuba_bytes() -> bytes:
     return sb.build()
 
 
+@functools.lru_cache(maxsize=None)
+def _u31ext_mul_by_constant_bytes(limbs: tuple) -> bytes:
+    """[a3..a0] -> [(a*c)3..0] for a COMPILE-TIME extension constant
+    c = (c0, c1, c2, c3). All b-side Karatsuba sums fold natively, so the 9
+    dynamic base muls of u31ext_mul_karatsuba become 9 fixed double-and-add
+    chains (~3x smaller). Single-nonzero-limb constants (monomials m*x^k)
+    take a dedicated 4-mul path."""
+    c = [v % P for v in limbs]
+    sb = _sb()
+    nz = [i for i, v in enumerate(c) if v]
+    if not nz:
+        sb.emit(op.OP_2DROP, op.OP_2DROP)
+        sb.num(0).num(0).num(0).num(0)
+        return sb.build()
+    if nz == [0] and c[0] == 1:
+        return sb.build()  # multiply by one: nop
+    if len(nz) == 1:
+        k = nz[0]
+        m = c[k]
+        # (a * m*x^k)_j = a_{(j-k)%4} * m * (W if j < k else 1)
+        for j in range(4):
+            i = (j - k) % 4
+            sb.num(i).emit(op.OP_PICK)
+            sb.extend(u31_mul_by_constant(m * EXT_W % P if j < k else m))
+            sb.emit(op.OP_TOALTSTACK)
+        sb.emit(op.OP_2DROP, op.OP_2DROP)
+        for _ in range(4):
+            sb.emit(op.OP_FROMALTSTACK)
+        return sb.build()
+
+    env = _LimbEnv(sb, ["a3", "a2", "a1", "a0"])
+
+    def add_named(x, y, result):
+        env.pick(x)
+        env.pick(y)
+        env.op2(u31_add(), result)
+
+    def cmul_named(x, const, result):
+        env.pick(x)
+        sb.extend(u31_mul_by_constant(const))
+        env.order[-1] = result
+
+    def sub2(x, y, z, result):
+        env.pick(x)
+        env.pick(y)
+        env.op2(u31_sub(), "_d")
+        env.pick(z)
+        env.op2(u31_sub(), result)
+
+    for x, y, r in (
+        ("a0", "a1", "s0"), ("a2", "a3", "s1"),
+        ("a0", "a2", "u0"), ("a1", "a3", "u1"),
+    ):
+        add_named(x, y, r)
+    add_named("u0", "u1", "t0")
+
+    s2, s3 = (c[0] + c[1]) % P, (c[2] + c[3]) % P
+    v0, v1 = (c[0] + c[2]) % P, (c[1] + c[3]) % P
+    t1 = (v0 + v1) % P
+    for x, k, r in (
+        ("a0", c[0], "m1"), ("a1", c[1], "m2"), ("s0", s2, "m3"),
+        ("a2", c[2], "m4"), ("a3", c[3], "m5"), ("s1", s3, "m6"),
+        ("u0", v0, "m7"), ("u1", v1, "m8"), ("t0", t1, "m9"),
+    ):
+        cmul_named(x, k, r)
+
+    sub2("m3", "m1", "m2", "p01")  # a0c1+a1c0
+    sub2("m6", "m4", "m5", "p21")  # a2c3+a3c2
+    sub2("m7", "m1", "m4", "p10")  # a0c2+a2c0
+    sub2("m8", "m2", "m5", "p12")  # a1c3+a3c1
+    sub2("m9", "m7", "m8", "_M1")
+    sub2("_M1", "p01", "p21", "p11")
+
+    # c0 = m1 + W*(m4 + p12)
+    add_named("m4", "p12", "_w0")
+    sb.extend(u31_mul_by_constant(EXT_W))
+    env.pick("m1")
+    env.op2(u31_add(), "c0")
+    env.to_alt()
+    # c1 = p01 + W*p21
+    env.pick("p21")
+    sb.extend(u31_mul_by_constant(EXT_W))
+    env.order[-1] = "_w1"
+    env.pick("p01")
+    env.op2(u31_add(), "c1")
+    env.to_alt()
+    # c2 = m2 + p10 + W*m5
+    env.pick("m5")
+    sb.extend(u31_mul_by_constant(EXT_W))
+    env.order[-1] = "_w2"
+    env.pick("m2")
+    env.op2(u31_add(), "_c2a")
+    env.pick("p10")
+    env.op2(u31_add(), "c2")
+    env.to_alt()
+    env.pick("p11")
+    env.to_alt()
+    remaining = len(env.order)
+    for _ in range(remaining // 2):
+        sb.emit(op.OP_2DROP)
+    if remaining % 2:
+        sb.emit(op.OP_DROP)
+    for _ in range(4):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb.build()
+
+
+def u31ext_mul_by_constant(limbs) -> ScriptBuilder:
+    return ScriptBuilder(_u31ext_mul_by_constant_bytes(tuple(int(v) for v in limbs)))
+
+
+def u31_mul_by_ext_constant(limbs) -> ScriptBuilder:
+    """[a] -> [(a*c)3..0] for base a and an extension constant c: four fixed
+    chains a*c_j (no cross terms, no W reduction)."""
+    c = [int(v) % P for v in limbs]
+    sb = _sb()
+    for j in range(4):
+        if j < 3:
+            sb.emit(op.OP_DUP)
+        sb.extend(u31_mul_by_constant(c[j]))
+        sb.emit(op.OP_TOALTSTACK)
+    for _ in range(4):
+        sb.emit(op.OP_FROMALTSTACK)
+    return sb
+
+
 def u31ext_mul_karatsuba() -> ScriptBuilder:
     return ScriptBuilder(_u31ext_mul_karatsuba_bytes())
