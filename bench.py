@@ -110,6 +110,24 @@ def main() -> None:
     numpy_cost = _numpy_ntt_butterfly_cost()
     vs_baseline = rate * numpy_cost  # speedup vs single-thread numpy reference
 
+    # -- roofline ----------------------------------------------------------
+    # Analytic HBM traffic of the block-decomposed LDE (each four-step
+    # member pass reads+writes the array once; outer twiddle / transpose /
+    # scale passes likewise; see poly/pallas_ntt.py): iNTT ~4 passes of the
+    # (n, w) array, block scale ~(r+w+blow*scales), forward NTT ~4 passes of
+    # the (n, blow*w) array.
+    el = 4  # bytes per field element
+    small = n * width * el
+    big = (n << log_blowup) * width * el
+    hbm_bytes = 4 * 2 * small + (small + 2 * big) + 4 * 2 * big
+    achieved_gbps = hbm_bytes / dt / 1e9
+    HBM_PEAK_GBPS = 819.0  # TPU v5e
+    # VPU-bound check: Montgomery 16-bit-limb butterfly ~= 30 int ALU ops
+    VPU_PEAK_OPS = 0.96e12  # ~940 MHz x 1024 int32 lanes
+    ops_per_butterfly = 30.0
+    vpu_roofline_butterflies = VPU_PEAK_OPS / ops_per_butterfly
+    hbm_roofline_butterflies = butterflies / hbm_bytes * HBM_PEAK_GBPS * 1e9
+
     print(
         json.dumps(
             {
@@ -117,6 +135,29 @@ def main() -> None:
                 "value": rate,
                 "unit": "butterflies/s",
                 "vs_baseline": vs_baseline,
+                "roofline": {
+                    "hbm_traffic_gb": round(hbm_bytes / 1e9, 3),
+                    "achieved_hbm_gbps": round(achieved_gbps, 1),
+                    "hbm_bound_butterflies_per_s": round(
+                        hbm_roofline_butterflies / 1e9, 1
+                    ),
+                    "vpu_bound_butterflies_per_s": round(
+                        vpu_roofline_butterflies / 1e9, 1
+                    ),
+                    "binding": "vpu"
+                    if vpu_roofline_butterflies < hbm_roofline_butterflies
+                    else "hbm",
+                    "pct_of_binding_roofline": round(
+                        100
+                        * rate
+                        / min(vpu_roofline_butterflies, hbm_roofline_butterflies),
+                        1,
+                    ),
+                    "note": "Montgomery REDC (~30 int ops/butterfly) makes the"
+                    " kernel VPU-bound, not HBM-bound (~2% of HBM peak);"
+                    " headroom = fewer ALU ops/butterfly (lazy reduction,"
+                    " int8-MXU offload -- poly/matmul_ntt.py).",
+                },
             }
         )
     )
