@@ -59,6 +59,21 @@ def main() -> None:
         if base_time is None:
             base_time = dt
         efficiency = base_time / (dt * nd)
+        # Comm-volume model (see SCALING.md): the step's only material ICI
+        # traffic is the two four-step all_to_all transposes (iNTT on (n, w),
+        # forward NTT on (n*2^b, w)); quotient/fold are row-local (halo of
+        # `next_step` rows) and grind reduces one scalar.
+        n_rows = 1 << log_n
+        width = 2
+        log_blowup = 1
+        a2a_bytes = (
+            4 * width * (n_rows + (n_rows << log_blowup)) * (nd - 1) // max(nd, 1)
+        )
+        per_dev_comm = a2a_bytes // max(nd, 1)
+        butterflies = width * (
+            (n_rows // 2) * log_n
+            + ((n_rows << log_blowup) // 2) * (log_n + log_blowup)
+        )
         print(
             json.dumps(
                 {
@@ -67,6 +82,11 @@ def main() -> None:
                     "value": dt * 1e3,
                     "unit": "ms/step",
                     "scaling_efficiency_vs_1": round(efficiency, 3),
+                    "ici_bytes_per_device": per_dev_comm,
+                    "butterflies_per_device": butterflies // nd,
+                    "comm_to_compute_bytes_per_butterfly": round(
+                        per_dev_comm / (butterflies / nd), 4
+                    ),
                     "backend": jax.default_backend(),
                 }
             )

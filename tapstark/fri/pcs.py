@@ -170,6 +170,7 @@ class TwoAdicFriPcs:
         reduced_openings: dict[int, Any] = {}
         num_reduced: dict[int, int] = {}
         all_opened_values = []
+        alpha_pow_cache: dict[int, Any] = {}
 
         for mats, points in mats_and_points:
             opened_for_round = []
@@ -187,19 +188,27 @@ class TwoAdicFriPcs:
 
                     # alpha powers are ys-independent: the whole reduction
                     # stays on device with no per-point host sync; ys are
-                    # fetched lazily after the loop.
+                    # fetched lazily after the loop. The device power table
+                    # depends only on the width — cached per width so wide
+                    # traces (1548 cols) build it once, not per point.
                     w = int(mat.shape[1])
                     alpha_pow_offset = alpha.exp(num_reduced[log_height])
-                    alpha_pows = []
-                    ap = EF4.one()
-                    for _ in range(w):
-                        alpha_pows.append(ap)
-                        ap = ap * alpha
-                    ap_mont = jnp.asarray(
-                        np_to_mont(
-                            np.array([a.as_u32_vec() for a in alpha_pows], np.uint32)
+                    ap_mont = alpha_pow_cache.get(w)
+                    if ap_mont is None:
+                        alpha_pows = []
+                        ap = EF4.one()
+                        for _ in range(w):
+                            alpha_pows.append(ap)
+                            ap = ap * alpha
+                        ap_mont = jnp.asarray(
+                            np_to_mont(
+                                np.array(
+                                    [a.as_u32_vec() for a in alpha_pows],
+                                    np.uint32,
+                                )
+                            )
                         )
-                    )
+                        alpha_pow_cache[w] = ap_mont
                     reduced_ys_dev = _dot_ys(ys_dev, ap_mont)
                     reduced_openings[log_height] = _reduce_rows_step(
                         mat,
@@ -214,15 +223,13 @@ class TwoAdicFriPcs:
                 opened_for_round.append(opened_for_mat)
             all_opened_values.append(opened_for_round)
 
-        # fetch opened values (one sync at the end of the reduction)
+        # fetch opened values (one batched device_get after the reduction)
+        all_opened_values = jax.device_get(all_opened_values)
         all_opened_values = [
             [
                 [
-                    [
-                        EF4([int(x) for x in row])
-                        for row in np_from_mont(np.asarray(ys_dev))
-                    ]
-                    for ys_dev in mats_list
+                    [EF4([int(x) for x in row]) for row in np_from_mont(ys)]
+                    for ys in mats_list
                 ]
                 for mats_list in round_list
             ]
