@@ -15,22 +15,31 @@ R x R DFT-matrix multiply and feed it to the MXU exactly:
 All NTT math here is in CANONICAL form (matmul is exact integer math);
 Montgomery conversion happens only at the LDE entry/exit boundaries.
 
-STATUS: exact (byte-equal to poly.ntt on every tested shape) but NOT the
-default TPU path. Measurements on the axon-relay v5lite at 2^20/blowup 4:
-  - unfused XLA composition: 80 ms (9 int32 partial-sum arrays per level
-    round-trip HBM; this chip sustains only ~70 GB/s),
-  - mod_matmul_fused (below: limb decompose + 25 int8 MXU dots + modular
-    epilogue in one VMEM-resident Pallas kernel): members alone hit
-    15.5 TMAC/s (1.7 ms for R=128, B=65536) — but ONE composite jit of the
-    whole LDE compiles pathologically (63 ms; XLA layout assignment across
-    the pallas boundaries), while the same stages as separate jits chain
-    in 23.9 ms vs 19.6 ms for the Pallas butterfly pipeline,
-  - with the outer twiddle folded into the fused kernel's epilogue
-    (implemented below): 23.5 ms.
-Remaining gap: the inter-level transposes and per-dispatch overhead, plus
-the matmul-NTT's inherent R/log2(R) MAC factor against a chip where the
-observed MXU/VPU advantage is smaller than that. Next: express the level
-transition via dot dimension numbers instead of materialized transposes.
+STATUS: RETIRED to an exact, tested experiment — the Pallas butterfly
+pipeline (poly.pallas_ntt) is the defended default TPU kernel. The
+roofline argument (see bench.py's roofline output for the measured side):
+
+  - The LDE workload is VPU-bound, not HBM- or MXU-bound: the butterfly
+    pipeline moves ~0.4 GB per 2^20 LDE (~2% of HBM peak) and runs the
+    Montgomery butterfly at ~30 int ALU ops.
+  - The MXU dots here are nearly free: 25 int8 dots x 3 levels at the
+    measured 15.5 TMAC/s cost ~2.7 ms of the 23.5 ms total.
+  - The loss is the EPILOGUE: recombining 9 shift buckets costs ~9
+    Montgomery multiplies per element per level — 27 VPU muls/element
+    across 3 levels, vs ~11 muls/element for the whole butterfly pipeline
+    (half a mul per element per stage x 22 stages). Offloading the
+    multiplies to the MXU therefore INCREASES the binding (VPU) work; no
+    transpose/fusion fix can close that, so the dot-dimension-numbers
+    rewrite was not pursued.
+  - A win would need a fundamentally cheaper recombination (fewer limbs
+    overflows int32 accumulation at R=128; Barrett folding the shift
+    constants hits the same 2^31 ceiling).
+
+Measurement history on the axon-relay v5lite at 2^20/blowup 4: unfused XLA
+composition 80 ms; fused members 15.5 TMAC/s but composite jit compiles
+pathologically (63 ms, XLA layout assignment across pallas boundaries);
+separate-jit chain 23.9 ms; outer twiddle folded into the epilogue 23.5 ms;
+butterfly pipeline 19.6 ms.
 
 Reference capability parity: p3-dft Radix2Dit / coset_lde_batch (the PCS
 commit path, reference fri/src/two_adic_pcs.rs:237-239) — re-architected
