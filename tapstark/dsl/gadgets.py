@@ -112,23 +112,53 @@ def u31_square() -> ScriptBuilder:
     return sb
 
 
-def u31_mul_by_constant(c: int) -> ScriptBuilder:
-    """[a] -> [a*c mod p] — fixed double-and-add chain over the constant."""
+def _naf_digits(c: int) -> list[int]:
+    """Non-adjacent form, LSB first (digits in {-1, 0, 1}; leading digit 1)."""
+    out = []
+    while c:
+        if c & 1:
+            d = 2 - (c & 3)
+            out.append(d)
+            c -= d
+        else:
+            out.append(0)
+        c >>= 1
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _u31_mul_by_constant_bytes(c: int) -> bytes:
+    """[a] -> [a*c mod p] — fixed chain over the constant. Emits both the
+    binary double-and-add chain and the NAF double-and-add/sub chain
+    (~2/3 the nonzero digits) and keeps whichever is shorter."""
     c %= P
     sb = _sb()
     if c == 0:
         sb.emit(op.OP_DROP).num(0)
-        return sb
-    bits = bin(c)[2:]
-    # stack: [a]; keep a copy while accumulating
-    sb.emit(op.OP_DUP)  # [a, acc=a] (MSB is always 1)
-    for b in bits[1:]:
-        sb.extend(u31_double())
-        if b == "1":
-            sb.emit(op.OP_OVER)
-            sb.extend(u31_add())
-    sb.emit(op.OP_NIP)
-    return sb
+        return sb.build()
+
+    def chain(digits_msb_to_lsb) -> bytes:
+        s = _sb()
+        s.emit(op.OP_DUP)  # [a, acc=a] (leading digit is 1)
+        for d in digits_msb_to_lsb:
+            s.extend(u31_double())
+            if d == 1:
+                s.emit(op.OP_OVER)
+                s.extend(u31_add())
+            elif d == -1:
+                s.emit(op.OP_OVER)
+                s.extend(u31_sub())
+        s.emit(op.OP_NIP)
+        return s.build()
+
+    binary = chain([int(b) for b in bin(c)[3:]])
+    naf = _naf_digits(c)
+    nafc = chain(list(reversed(naf[:-1])))
+    return binary if len(binary) <= len(nafc) else nafc
+
+
+def u31_mul_by_constant(c: int) -> ScriptBuilder:
+    return ScriptBuilder(_u31_mul_by_constant_bytes(int(c)))
 
 
 def u31_equalverify() -> ScriptBuilder:
