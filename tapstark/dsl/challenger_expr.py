@@ -40,6 +40,7 @@ from .u32 import (
 class ChallengerScriptBuilder:
     def __init__(self):
         self.sb = ScriptBuilder()
+        self.num_compressions = 0
         self.pending: list[int] = []
         self.have_cv = False  # cv quads live on the stack?
         self.buffer_len = 0  # unread output words (buffer = h_0..h_{len-1})
@@ -57,6 +58,7 @@ class ChallengerScriptBuilder:
         for w in block:
             sb.extend(u32_push(w))
         sb.extend(blake3_compress_chained_gadget(block_len))
+        self.num_compressions += 1
         # host mirror
         self.cv = compress(self.cv, block, 0, block_len, FLAGS)[:8]
         self.buffer_words = list(self.cv)
@@ -112,8 +114,9 @@ class ChallengerScriptBuilder:
         return sb.build()
 
 
-def build_challenger_script(op_log: list[tuple]) -> bytes:
-    """Compile a challenger op_log into the consistency script."""
+def build_challenger_script(op_log: list[tuple], stats: dict | None = None) -> bytes:
+    """Compile a challenger op_log into the consistency script. If `stats`
+    is a dict, records {"compressions": N} (script size scales with it)."""
     b = ChallengerScriptBuilder()
     for entry in op_log:
         if entry[0] == "observe":
@@ -124,4 +127,7 @@ def build_challenger_script(op_log: list[tuple]) -> bytes:
             b.sample_bits(entry[1], entry[2], entry[3])
         else:
             raise AssertionError(entry[0])
-    return b.finish()
+    out = b.finish()
+    if stats is not None:
+        stats["compressions"] = b.num_compressions
+    return out

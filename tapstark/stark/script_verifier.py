@@ -42,6 +42,7 @@ class ScriptVerifierReport:
     segment_script_bytes: dict[str, int] = field(default_factory=dict)
     total_script_bytes: int = 0
     distinct_u32_count: int = 0
+    challenger_compressions: int = 0
 
     def total_kb(self) -> float:
         return self.total_script_bytes / 1024
@@ -271,10 +272,12 @@ def generate_script_verifier(
     from ..dsl.challenger_expr import build_challenger_script
     from ..script.interpreter import execute_script
 
-    challenger_script = build_challenger_script(challenger.op_log)
+    ch_stats: dict = {}
+    challenger_script = build_challenger_script(challenger.op_log, ch_stats)
     if run_scripts:
         res = execute_script(challenger_script)
         assert res.success, f"challenger script failed: {res.error}"
     report.segment_script_bytes["challenger"] = len(challenger_script)
     report.total_script_bytes += len(challenger_script)
+    report.challenger_compressions = ch_stats.get("compressions", 0)
     return report

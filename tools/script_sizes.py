@@ -63,6 +63,7 @@ def row(log_n: int, log_blowup: int, nq: int) -> dict:
         "quotient_kb": round(quotient / 1024),
         "u32": report.distinct_u32_count,
         "challenger_kb": round(challenger / 1024),
+        "challenger_compressions": report.challenger_compressions,
         "gen_s": round(gen_s, 1),
     }
 
@@ -117,6 +118,7 @@ def wide_row(log_n: int, log_blowup: int, nq: int, cols: int) -> dict:
         "quotient_kb": round(seg["compute-quotient"] / 1024),
         "u32": report.distinct_u32_count,
         "challenger_kb": round(seg["challenger"] / 1024),
+        "challenger_compressions": report.challenger_compressions,
         "prove_s": round(prove_s, 1),
         "gen_s": round(gen_s, 1),
         "phases": {
