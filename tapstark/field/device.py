@@ -144,6 +144,23 @@ def np_from_mont(a: np.ndarray) -> np.ndarray:
     return out.astype(np.uint32).reshape(a.shape)
 
 
+_from_mont_jit = None
+
+
+def fetch_canonical(a_dev) -> np.ndarray:
+    """Montgomery DEVICE array → canonical numpy: the de-Montgomery runs as
+    a jitted device kernel (vectorized REDC) and the fetch transfers the
+    canonical values — replaces np_from_mont(np.asarray(x)) on hot paths
+    (per-layer FRI fetches, LDE commit fetches), where the host u64 numpy
+    conversion was the bottleneck."""
+    global _from_mont_jit
+    if _from_mont_jit is None:
+        import jax
+
+        _from_mont_jit = jax.jit(from_mont)
+    return np.asarray(_from_mont_jit(a_dev))
+
+
 # ---------------------------------------------------------------------------
 # Quartic extension (..., 4) arrays, x^4 = W
 # ---------------------------------------------------------------------------

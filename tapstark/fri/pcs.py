@@ -37,6 +37,7 @@ from ..field.device import (
     ef_sub,
     fp_add,
     fp_sub,
+    fetch_canonical,
     np_from_mont,
     np_to_mont,
 )
@@ -143,7 +144,7 @@ class TwoAdicFriPcs:
             lde = bit_reverse_rows(lde)
             domains.append(domain)
             ldes.append(lde)
-            mats_host.append(FMatrix(np_from_mont(np.asarray(lde))))
+            mats_host.append(FMatrix(fetch_canonical(lde)))
         commitment, commited = self.mmcs.commit(mats_host)
         return commitment, PcsProverData(domains=domains, ldes=ldes, commited=commited)
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..challenger import BfChallenger
 from ..commit.tcs import FMatrix
-from ..field.device import ef_add, np_from_mont, to_mont
+from ..field.device import ef_add, fetch_canonical, np_from_mont, to_mont
 from ..field.scalar import EF4
 from ..poly.fold import fold_matrix_jit
 from ..utils import log2_strict
@@ -83,7 +83,7 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
         half = folded.shape[0] // 2
         mat_dev = folded.reshape(half, 2, 4)
         with span("fri/layer-fetch"):
-            mat_host = FMatrix(np_from_mont(np.asarray(mat_dev)))
+            mat_host = FMatrix(fetch_canonical(mat_dev))
         with span("fri/layer-commit"):
             commit, prover_data = config.mmcs.commit_matrix(mat_host)
         challenger.observe_commitment(commit)
@@ -100,7 +100,7 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
 
     # We should be left with `blowup` evaluations of a constant polynomial.
     assert folded.shape[0] == config.blowup()
-    final_host = np_from_mont(np.asarray(folded))
+    final_host = fetch_canonical(folded)
     final_poly = EF4([int(x) for x in final_host[0]])
     for row in final_host:
         assert EF4([int(x) for x in row]) == final_poly, "final poly is not constant"
