@@ -7,6 +7,7 @@ import pytest
 from tapstark.dsl import gadgets as g
 from tapstark.field import EF4, F, P
 from tapstark.script import ScriptBuilder, execute_script
+from tapstark.script.builder import encode_num
 from tapstark.script import opcodes as op
 
 rng = np.random.default_rng(0)
@@ -144,3 +145,44 @@ def test_u31ext_equalverify_rejects():
     sb.extend(g.u31ext_equalverify()).emit(op.OP_1)
     r = execute_script(sb.build())
     assert not r.success
+
+
+def test_u31_mul_by_constant_naf_fuzz():
+    """The constant multiplier picks the shorter of binary/NAF chains; both
+    must agree with field multiplication."""
+    import random
+
+    rng = random.Random(11)
+    for t in range(40):
+        a = rng.randrange(P)
+        c = [0, 1, 2, P - 1, (1 << 16) + 1][t] if t < 5 else rng.randrange(P)
+        sb = ScriptBuilder()
+        sb.extend(g.u31_mul_by_constant(c))
+        sb.num(a * c % P).emit(op.OP_EQUALVERIFY, op.OP_1)
+        res = execute_script(sb.build(), [encode_num(a)])
+        assert res.success, (t, c, res.error)
+
+
+def test_u31ext_mul_by_constant_fuzz():
+    import random
+
+    rng = random.Random(12)
+    for t in range(40):
+        a = EF4([rng.randrange(P) for _ in range(4)])
+        if t % 4 == 0:
+            limbs = [0, 0, 0, 0]
+            limbs[rng.randrange(4)] = rng.randrange(P)
+            c = EF4(limbs)
+        elif t % 4 == 1:
+            c = EF4([rng.randrange(P), 0, 0, 0])
+        else:
+            c = EF4([rng.randrange(P) for _ in range(4)])
+        expect = a * c
+        sb = ScriptBuilder()
+        sb.extend(g.u31ext_mul_by_constant([int(x) for x in c.c]))
+        sb.extend(g.u31ext_push([int(x) for x in expect.c]))
+        sb.extend(g.u31ext_equalverify())
+        sb.emit(op.OP_1)
+        w = [encode_num(int(x)) for x in reversed(a.c)]
+        res = execute_script(sb.build(), w)
+        assert res.success, (t, res.error)

@@ -157,3 +157,14 @@ def test_device_ef_const_and_pow():
     c = dev.ef_const(e)
     got = np.asarray(dev.from_mont(dev.ef_pow(c, 7)))
     assert tuple(got) == e.exp(7).c
+
+
+def test_fetch_canonical_matches_host_conversion():
+    import jax.numpy as jnp
+
+    from tapstark.field.device import fetch_canonical, np_from_mont
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, P, (257, 4)).astype(np.uint32)
+    dev = jnp.asarray(x)
+    assert (fetch_canonical(dev) == np_from_mont(x)).all()
