@@ -72,3 +72,53 @@ def test_wide_air_script_verifier_spills_and_executes():
     # the spilled pieces replace, not duplicate, the monolithic segments
     assert "trace-constraints" not in seg
     assert report.total_script_bytes == sum(seg.values())
+
+
+def test_sharded_constraint_chain_tamper_rejected():
+    """The chunked constraint accumulator binds through bit-committed
+    boundary values: corrupting a chunk's incoming accumulator (equivocation
+    at the commitment layer) must make that chunk's script fail."""
+    from tapstark.dsl.constraint_builder import (
+        ScriptConstraintBuilder,
+        emit_sharded_constraints,
+    )
+    from tapstark.dsl.expr import Expr, ManagerAssign, simulate
+    import numpy as np
+
+    from tapstark.field import EF4
+    from tapstark.field.constants import P as _P
+
+    rng = np.random.default_rng(5)
+    w = 120
+    local = [EF4([int(x) for x in rng.integers(0, _P, 4)]) for _ in range(w)]
+    nxt = [EF4([int(x) for x in rng.integers(0, _P, 4)]) for _ in range(w)]
+    alpha = EF4([3, 1, 4, 1])
+    one = Expr.constant(F(1))
+    rec = ScriptConstraintBuilder(None, local, nxt, [], one, one, one, alpha)
+    main = rec.main()
+    for j in range(w):
+        rec.assert_zero(
+            main.row(0)[j] * main.row(0)[(j + 1) % w] - main.row(1)[j]
+        )
+
+    # native fold
+    cache = dict(rec.values)
+    acc = None
+    for c in rec.constraints:
+        v = simulate(c, cache)
+        v = v if isinstance(v, EF4) else EF4.from_base(v)
+        acc = v if acc is None else acc * alpha + v
+    ma = ManagerAssign()
+    emit_sharded_constraints(ma, rec, alpha, acc)
+    assert len(ma.managers) > 1, "must shard at this width"
+    for m in ma.managers:
+        m.run()  # all pass untampered
+
+    # corrupt chunk 1's incoming accumulator (its first assigned input)
+    victim = ma.managers[1]
+    iv = victim.inputs[0]
+    bad = list(iv.value.c)
+    bad[0] = (bad[0] + 1) % _P
+    iv.value = EF4(bad)
+    with pytest.raises(AssertionError):
+        victim.run()
