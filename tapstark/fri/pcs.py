@@ -388,6 +388,7 @@ class TwoAdicFriPcs:
             budget = _STACK_BUDGET - fold_limbs
             alpha_pows: dict[int, EF4] = {}
             ro_exprs: dict[int, Expr] = {}
+            ro_natives: dict[int, EF4] = {}
             part = 0
 
             def _ef(v):
@@ -396,6 +397,7 @@ class TwoAdicFriPcs:
             for log_height, x_minus_z, ps_at_z, mat_opening in groups:
                 ap = alpha_pows.setdefault(log_height, EF4.one())
                 ro = ro_exprs.setdefault(log_height, Expr.constant(EF4.zero()))
+                ro_n = ro_natives.setdefault(log_height, EF4.zero())
                 inv_native = x_minus_z.inverse()
                 group_limbs = 5 * len(ps_at_z) + 4
                 if group_limbs <= budget:
@@ -406,19 +408,25 @@ class TwoAdicFriPcs:
                     # so positive assignment dedups their u32 bit commitments
                     # across segments.
                     acc = Expr.constant(EF4.zero())
+                    acc_n = EF4.zero()
                     for p_at_x, p_at_z in zip(mat_opening, ps_at_z):
                         acc = acc - Expr.constant(ap) * (
                             manager.assign_input_f(p_at_z)
                             - manager.assign_input_f(p_at_x)
                         )
+                        acc_n = acc_n - ap * (_ef(p_at_z) - _ef(p_at_x))
                         ap = ap * alpha
-                    inv = manager.assign_hint_input_f(inv_native)
+                    # the group's quotient value g = acc/(x-z) is the hint;
+                    # verify the multiplied-through form g*(x-z) == acc
+                    # (constant-Karatsuba) instead of computing acc*inv
+                    # (dynamic Karatsuba) — same hint-commitment count
+                    g_native = acc_n * inv_native
+                    g_in = manager.assign_hint_input_f(g_native)
                     manager.add_hint_verify(
-                        (Expr.constant(x_minus_z) * inv).equal_verify_for_f(
-                            EF4.one()
-                        )
+                        (g_in * Expr.constant(x_minus_z)).equal_verify(acc)
                     )
-                    ro_exprs[log_height] = ro + acc * inv
+                    ro_exprs[log_height] = ro + g_in
+                    ro_natives[log_height] = ro_n + g_native
                 else:
                     budget -= 4  # the committed group value in the main script
                     s_native = EF4.zero()
@@ -447,23 +455,23 @@ class TwoAdicFriPcs:
                                 s_expr.equal_verify(sub.assign_input_f(s_native))
                             )
                         else:
-                            inv_in = sub.assign_hint_input_f(inv_native)
-                            sub.add_hint_verify(
-                                (Expr.constant(x_minus_z) * inv_in)
-                                .equal_verify_for_f(EF4.one())
-                            )
+                            # multiplied-through division: commit the group
+                            # value g and verify g*(x-z) == s in the last
+                            # chunk (no inverse hint, no dynamic Karatsuba)
                             g_native = s_native * inv_native
+                            g_out = sub.assign_input_f(g_native)
                             sub.set_exec_dsl(
-                                (s_expr * inv_in).equal_verify(
-                                    sub.assign_input_f(g_native)
+                                (g_out * Expr.constant(x_minus_z)).equal_verify(
+                                    s_expr
                                 )
                             )
                             ro_exprs[log_height] = ro + manager.assign_input_f(
                                 g_native
                             )
+                            ro_natives[log_height] = ro_n + g_native
                 alpha_pows[log_height] = ap
             return [
-                (lh, ro_exprs[lh])
+                (lh, ro_exprs[lh], ro_natives[lh])
                 for lh in sorted(ro_exprs.keys(), reverse=True)
             ]
 

@@ -32,23 +32,27 @@ def bf_sample_challenges(
 
 def fold_row_with_expr(
     folded_eval: Expr,
+    folded_native: EF4,
     sibling_eval: Expr,
+    sibling_native: EF4,
     x: Expr,
     x_hint: F,
     point_index: int,
     index_sibling: int,
     beta: Expr,
+    beta_native: EF4,
     manager: InputManager,
-) -> Expr:
-    """One in-script fold: 2-point interpolation at beta with the inverse of
-    (xs[1]-xs[0]) supplied as a verified hint. Unlike the reference (which
-    multiplies by the inverse as a bare constant and separately verifies an
-    assigned copy), the verified hint input itself is used in the fold."""
+) -> tuple[Expr, EF4]:
+    """One in-script fold: 2-point interpolation at beta. The FOLDED VALUE
+    itself is the verified hint — the script checks the multiplied-through
+    identity  (g - e0)*(xs1 - xs0) == (beta - xs0)*(e1 - e0)  instead of
+    computing e0 + (beta - xs0)(e1 - e0)*inv, which replaces two chained
+    dynamic extension Karatsubas (~17 KB each) with one plus an ext-by-base
+    multiply, at the same hint-commitment count (g replaces inv)."""
     g1 = F.two_adic_generator(1)
     rev_x_hint = x_hint * g1
     xs_hint = [x_hint, x_hint]
     xs_hint[index_sibling % 2] = rev_x_hint
-    inv_val = (xs_hint[1] - xs_hint[0]).inverse()
 
     if index_sibling % 2 == 0:
         xs_0 = x * Expr.constant(g1)
@@ -60,11 +64,21 @@ def fold_row_with_expr(
     evals = [None, None]
     evals[index_sibling % 2] = sibling_eval
     evals[(index_sibling + 1) % 2] = folded_eval
+    evals_n = [None, None]
+    evals_n[index_sibling % 2] = sibling_native
+    evals_n[(index_sibling + 1) % 2] = folded_native
 
-    inv_hint = manager.assign_hint_input_f(inv_val)
-    manager.add_hint_verify(((xs_1 - xs_0) * inv_hint).equal_verify_for_f(F(1)))
-
-    return evals[0] + (beta - xs_0) * (evals[1] - evals[0]) * inv_hint
+    d_inv = (xs_hint[1] - xs_hint[0]).inverse()
+    g_native = evals_n[0] + (
+        beta_native - EF4.from_base(xs_hint[0])
+    ) * (evals_n[1] - evals_n[0]) * EF4.from_base(d_inv)
+    g_in = manager.assign_hint_input_f(g_native)
+    manager.add_hint_verify(
+        ((g_in - evals[0]) * (xs_1 - xs_0)).equal_verify(
+            (beta - xs_0) * (evals[1] - evals[0])
+        )
+    )
+    return g_in, g_native
 
 
 def bf_verify_challenges(
@@ -119,6 +133,7 @@ def _bf_verify_query(
     ro_iter = iter(reduced_openings)
     ro_next = next(ro_iter, None)
     folded_eval = Expr.constant(EF4.zero())
+    folded_native = EF4.zero()
 
     # x = g_{log_max}^{reverse_bits(index)} computed IN SCRIPT from the index
     x = Expr.constant_num(query_index).index_to_rou(log_max_height)
@@ -139,6 +154,7 @@ def _bf_verify_query(
 
         if ro_next is not None and ro_next[0] == log_folded_height + 1:
             folded_eval = folded_eval + ro_next[1]
+            folded_native = folded_native + ro_next[2]
             ro_next = next(ro_iter, None)
 
         opened_values, commited_proof = step
@@ -146,14 +162,18 @@ def _bf_verify_query(
         if not config.mmcs.verify_batch(qti, opened_values, commited_proof, commit):
             raise FriError("CommitPhaseMmcsError")
 
-        folded_eval = fold_row_with_expr(
+        sibling_native = opened_values[0][index_sibling]
+        folded_eval, folded_native = fold_row_with_expr(
             folded_eval,
-            manager.assign_input_f(opened_values[0][index_sibling]),
+            folded_native,
+            manager.assign_input_f(sibling_native),
+            sibling_native,
             x,
             x_hint,
             point_index,
             index_sibling,
             manager.assign_input_f(beta),
+            beta,
             manager,
         )
 
@@ -163,4 +183,5 @@ def _bf_verify_query(
             x_hint = x_hint * x_hint
 
     assert query_index < config.blowup()
+    assert folded_native == proof.final_poly, "native fold mirror drift"
     return folded_eval
