@@ -77,10 +77,37 @@ class ScriptConstraintBuilder(AirBuilder):
         self.constraints.append(x)
 
     def accumulator_expr(self) -> Expr:
-        acc = self.constraints[0]
-        for c in self.constraints[1:]:
-            acc = acc * self._alpha + c
+        """acc = sum_k alpha^{n-1-k} * C_k (same value as the Horner form).
+        The absolute alpha-power WEIGHTS fold into each constraint's leading
+        constant (constraints are selector_const * expr), so the whole
+        accumulator costs one constant-multiply per constraint and no
+        alpha-chain multiplies."""
+        alpha = self._alpha.meta
+        n = len(self.constraints)
+        acc = None
+        for k, c in enumerate(self.constraints):
+            term = _weighted(c, alpha.exp(n - 1 - k))
+            acc = term if acc is None else acc + term
         return acc
+
+
+def _weighted(c: Expr, weight: EF4) -> Expr:
+    """weight * c with the constant distributed into c's leading const
+    factor when c = const * expr (one folded constant-multiply instead of
+    two)."""
+    if weight == EF4.one():
+        return c
+    if c.kind == "mul":
+        a, b = c.children
+        if a.kind == "const":
+            return Expr.constant(weight * _to_ef(a.meta)) * b
+        if b.kind == "const":
+            return Expr.constant(weight * _to_ef(b.meta)) * a
+    return Expr.constant(weight) * c
+
+
+def _to_ef(v) -> EF4:
+    return v if isinstance(v, EF4) else EF4.from_base(v)
 
 
 def _placeholder_ids(e: Expr, values: dict[int, object], memo: dict) -> set:
@@ -157,8 +184,12 @@ def emit_sharded_constraints(
     def _ef(v):
         return v if isinstance(v, EF4) else EF4.from_base(v)
 
+    # acc = sum_k alpha^{n-1-k} C_k with the weights folded into each
+    # constraint's leading constant (see _weighted): chunks partition a
+    # plain SUM, so chunk boundaries carry the running partial with no
+    # alpha-multiply at the seam.
+    n = len(recording.constraints)
     acc_native = None
-    alpha_e = Expr.constant(alpha)
     for k, chunk in enumerate(chunks):
         last = k == len(chunks) - 1
         name = (
@@ -170,10 +201,13 @@ def emit_sharded_constraints(
         cache: dict = {}
         acc = m.assign_input_f(acc_native) if k > 0 else None
         for i in chunk:
-            ce = _clone_expr(recording.constraints[i], values, m, cache)
-            acc = ce if acc is None else acc * alpha_e + ce
-            cv = _ef(c_natives[i])
-            acc_native = cv if acc_native is None else acc_native * alpha + cv
+            w = alpha.exp(n - 1 - i)
+            ce = _weighted(
+                _clone_expr(recording.constraints[i], values, m, cache), w
+            )
+            acc = ce if acc is None else acc + ce
+            cv = w * _ef(c_natives[i])
+            acc_native = cv if acc_native is None else acc_native + cv
         if last:
             m.set_exec_dsl(acc.equal_verify_for_f(folded_constraints))
         else:
