@@ -1,0 +1,283 @@
+"""Taptree commit hashing on device (TPU): leaf-tail construction + SHA.
+
+The host engine builds each shard tree with SHA-NI at ~4-core speed, which
+is 70 of the 76.5 s TPU north-star wall-clock (README). This module moves
+the per-leaf work to the device:
+
+- every leaf script of a shard is head || tail(i) || NOP-pad to one fixed
+  length, so the SHA-256 midstate through the multi-KB head is ONE host
+  computation per (repetition, shard) and only the ~2-6 tail blocks hash
+  per leaf;
+- the tail bytes (minimal-CScriptNum value pushes + FROMALTSTACK/
+  EQUALVERIFY pairs + index push + OP_1) are DATA-DEPENDENT in length, so
+  they are built on device as fixed 8-byte slots scattered at cumsum
+  offsets — byte-exact with script.builder.push_int;
+- tails are repetition-independent: the byte tensor is built once and the
+  per-rep tapleaf compressions run from each rep's head midstate;
+- TapBranch levels hash on device; only levels >= LEVEL_CUTOFF transfer to
+  the host (the same sparse layout as native.tcs_commit_sparse_native, so
+  openings reuse the existing host leaf-block rebuild).
+
+Reference anchor: the num_queries-cloned tree commit this re-architects is
+/root/reference/basic/src/tcs/mod.rs:197-292.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hashes.sha256 import compact_size, sha256
+from ..hashes.sha256_device import compress_batch, tag_midstate_words, tapbranch_hash_batch
+from ..script import opcodes as op
+
+_OP_FROMALT = op.OP_FROMALTSTACK
+_OP_EQV = op.OP_EQUALVERIFY
+_OP_1 = op.OP_1
+_OP_NOP = op.OP_NOP
+
+_LEAF_CHUNK = 1 << 16
+
+
+def _slot_bytes_and_lens(vals, is_index: bool):
+    """vals (..., S) uint32 canonical (< 2^31) -> (bytes (..., S, 8) uint8,
+    lens (..., S) int32). Slot = push_int(v) || FROMALT || EQV (|| OP_1 for
+    the index slot)."""
+    v = vals.astype(jnp.uint32)
+    zero = v == 0
+    small = (v >= 1) & (v <= 16)
+    ndata = (
+        1
+        + (v >= jnp.uint32(0x80)).astype(jnp.int32)
+        + (v >= jnp.uint32(0x8000)).astype(jnp.int32)
+        + (v >= jnp.uint32(0x800000)).astype(jnp.int32)
+    )
+    enc_len = jnp.where(zero | small, 1, 1 + ndata)
+    first = jnp.where(
+        zero,
+        jnp.uint32(0),
+        jnp.where(small, jnp.uint32(op.OP_1 - 1) + v, ndata.astype(jnp.uint32)),
+    )
+    cols = []
+    for p in range(8):
+        if p == 0:
+            b = first
+        else:
+            data = (v >> jnp.uint32(8 * (p - 1))) & jnp.uint32(0xFF)
+            b = jnp.where((~zero) & (~small) & (p <= ndata), data, jnp.uint32(0))
+        b = jnp.where(p == enc_len, jnp.uint32(_OP_FROMALT), b)
+        b = jnp.where(p == enc_len + 1, jnp.uint32(_OP_EQV), b)
+        if is_index:
+            b = jnp.where(p == enc_len + 2, jnp.uint32(_OP_1), b)
+        cols.append(b)
+    out = jnp.stack(cols, axis=-1).astype(jnp.uint8)
+    slot_len = enc_len + (3 if is_index else 2)
+    return out, slot_len
+
+
+def _tail_bytes_chunk(vals_chunk, indices_chunk, tail_span: int):
+    """vals_chunk (n, K, L) uint32 canonical, indices_chunk (n,) -> byte
+    tensor (n, tail_span) uint8: value slots (values reversed, limbs in
+    order), index slot, then OP_NOP fill."""
+    n, k, l = vals_chunk.shape
+    slot_vals = vals_chunk[:, ::-1, :].reshape(n, k * l)
+    vb, vl = _slot_bytes_and_lens(slot_vals, is_index=False)
+    ib, il = _slot_bytes_and_lens(indices_chunk[:, None], is_index=True)
+    sbytes = jnp.concatenate([vb, ib], axis=1)  # (n, S, 8)
+    slens = jnp.concatenate([vl, il[:, :1]], axis=1)  # (n, S)
+    s = sbytes.shape[1]
+    starts = jnp.cumsum(slens, axis=1) - slens  # (n, S)
+
+    out = jnp.full((n, tail_span), _OP_NOP, dtype=jnp.uint8)
+    pos = jnp.arange(8, dtype=jnp.int32)
+    target = starts[:, :, None] + pos[None, None, :]  # (n, S, 8)
+    valid = pos[None, None, :] < slens[:, :, None]
+    target = jnp.where(valid, target, tail_span)  # dropped
+    leaf_ids = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None, None], target.shape
+    )
+    return out.at[leaf_ids, target].set(sbytes, mode="drop")
+
+
+def _pack_words(bytes_tensor):
+    """(..., 4*W) uint8 -> (..., W) uint32 big-endian words."""
+    b = bytes_tensor.astype(jnp.uint32)
+    return (
+        (b[..., 0::4] << jnp.uint32(24))
+        | (b[..., 1::4] << jnp.uint32(16))
+        | (b[..., 2::4] << jnp.uint32(8))
+        | b[..., 3::4]
+    )
+
+
+class ShardSuffixPlan:
+    """Host-side layout plan for one shard's tapleaf hashing: where the tail
+    starts inside the SHA stream and the constant padding."""
+
+    def __init__(self, head_len: int, fixed_len: int, leaf_version: int = 0xC0):
+        self.head_len = head_len
+        self.fixed_len = fixed_len
+        cs = compact_size(fixed_len)
+        self.pre_script = bytes([leaf_version]) + cs
+        # bytes before the tail in the full tagged-hash stream
+        before = 64 + len(self.pre_script) + head_len
+        self.full_blocks = before // 64
+        self.rem_len = before % 64
+        self.tail_span = fixed_len - head_len
+        total_msg = 64 + len(self.pre_script) + fixed_len
+        suf_payload = self.rem_len + self.tail_span + 9
+        self.n_suffix_blocks = -(-suf_payload // 64)
+        suf_bytes = self.n_suffix_blocks * 64
+        pad = np.zeros(suf_bytes, dtype=np.uint8)
+        pe = self.rem_len + self.tail_span
+        pad[pe] = 0x80
+        bitlen = total_msg * 8
+        pad[suf_bytes - 8 :] = np.frombuffer(
+            int(bitlen).to_bytes(8, "big"), dtype=np.uint8
+        )
+        self.pad_words = _pack_words(jnp.asarray(pad)).astype(jnp.uint32)
+        self.suf_words = suf_bytes // 4
+
+    def head_midstates_batch(self, heads: list[bytes]):
+        """All repetitions at once: (R, 8) SHA midstates after every full
+        block through each head, plus (R, suf_words) leftover head bytes
+        packed as zero-padded suffix words. One jitted device call for the
+        whole batch (heads are multi-KB; per-block eager dispatch would be
+        hundreds of round trips)."""
+        r = len(heads)
+        msgs = [self.pre_script + h for h in heads]
+        full = (len(msgs[0]) + 64) // 64 * 64 - 64
+        assert all(len(m) == len(msgs[0]) for m in msgs)
+        blocks = np.stack(
+            [
+                np.frombuffer(m[:full], dtype=">u4").astype(np.uint32)
+                for m in msgs
+            ]
+        ).reshape(r, full // 64, 16)
+        states = _head_midstates_jit(
+            jnp.asarray(blocks), jnp.asarray(tag_midstate_words(b"TapLeaf"))
+        )
+        rems = np.zeros((r, self.suf_words * 4), dtype=np.uint8)
+        for i, m in enumerate(msgs):
+            rem = m[full:]
+            assert len(rem) == self.rem_len
+            rems[i, : len(rem)] = np.frombuffer(rem, dtype=np.uint8)
+        remw = np.asarray(_pack_words(jnp.asarray(rems)))
+        return np.asarray(states), remw
+
+
+import functools
+
+
+@jax.jit
+def _head_midstates_jit(blocks, midstate):
+    """blocks (R, nb, 16) uint32, midstate (8,) -> (R, 8)."""
+    r = blocks.shape[0]
+    state = jnp.broadcast_to(midstate, (r, 8))
+    for i in range(blocks.shape[1]):
+        state = compress_batch(state, blocks[:, i, :])
+    return state
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _suffix_chunk_jit(vals_chunk, idx, tail_span, rem_len, suf_words, pad_key):
+    tail = _tail_bytes_chunk(vals_chunk, idx, tail_span)
+    n = vals_chunk.shape[0]
+    suf = jnp.zeros((n, suf_words * 4), dtype=jnp.uint8)
+    suf = suf.at[:, rem_len : rem_len + tail_span].set(tail)
+    return _pack_words(suf)
+
+
+def build_tail_suffix_words(values_shard, plan: ShardSuffixPlan, base_index: int = 0):
+    """values_shard (N, K, L) canonical uint32 (host or device) ->
+    (N, suf_words) uint32: the repetition-independent part of each leaf's
+    suffix blocks (rem region zeroed, SHA padding included)."""
+    vals = jnp.asarray(values_shard)
+    n = vals.shape[0]
+    outs = []
+    for lo in range(0, n, _LEAF_CHUNK):
+        hi = min(lo + _LEAF_CHUNK, n)
+        idx = jnp.arange(lo + base_index, hi + base_index, dtype=jnp.uint32)
+        words = _suffix_chunk_jit(
+            vals[lo:hi], idx, plan.tail_span, plan.rem_len, plan.suf_words, None
+        )
+        outs.append(words | plan.pad_words[None, :])
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+@jax.jit
+def _leaf_hash_jit(suffix_words, midstate, rem_words):
+    """(N, suf_words) suffix + per-rep head midstate/rem -> (N, 8) tapleaf
+    digests. lax.scan over the block axis keeps the compiled program at ONE
+    inlined compression regardless of block count."""
+    from jax import lax
+
+    n, w = suffix_words.shape
+    words = (suffix_words | rem_words[None, :]).reshape(n, w // 16, 16)
+    blocks = jnp.moveaxis(words, 1, 0)  # (nb, N, 16)
+    state0 = jnp.broadcast_to(midstate, (n, 8))
+
+    def body(state, blk):
+        return compress_batch(state, blk), None
+
+    state, _ = lax.scan(body, state0, blocks)
+    return state
+
+
+@jax.jit
+def _branch_level_jit(level):
+    """One TapBranch level: (n, 8) -> (n/2, 8). Compiled once per shape and
+    shared across repetitions, shards, and FRI layers of the same height."""
+    return tapbranch_hash_batch(level[0::2], level[1::2])
+
+
+def tapleaf_hashes_device(suffix_words, midstate: np.ndarray, rem_words: np.ndarray):
+    """suffix_words (N, suf_words) uint32 (rem region zero), per-rep head
+    midstate (8,) + rem words (suf_words,) -> (N, 8) tapleaf digests."""
+    return _leaf_hash_jit(
+        suffix_words, jnp.asarray(midstate), jnp.asarray(rem_words)
+    )
+
+
+def shard_tree_device(suffix_words, midstate: np.ndarray, rem_words: np.ndarray, cutoff: int):
+    """Per-repetition tree from the shared suffix words: returns
+    (root bytes, upper levels >= cutoff as [(n>>l, 32) uint8, ...] matching
+    tcs_commit_sparse_native)."""
+    level = tapleaf_hashes_device(suffix_words, midstate, rem_words)
+    depth = max((int(level.shape[0]) - 1).bit_length(), 0)
+    upper = []
+    for l in range(depth):
+        level = _branch_level_jit(level)
+        if l + 1 >= cutoff and l + 1 < depth:
+            upper.append(level)
+    upper_np = [
+        np.ascontiguousarray(np.asarray(u).astype(">u4"))
+        .view(np.uint8)
+        .reshape(-1, 32)
+        for u in upper
+    ]
+    root = np.asarray(level)[0].astype(">u4").tobytes()
+    return root, upper_np
+
+
+def tree_levels_device(leaf_hashes, cutoff: int):
+    """leaf_hashes (N, 8) -> (root bytes, upper levels >= cutoff as
+    [(N>>cutoff, 32) uint8, ...] matching tcs_commit_sparse_native)."""
+    level = leaf_hashes
+    depth = max((int(level.shape[0]) - 1).bit_length(), 0)
+    upper = []
+    for l in range(depth):
+        level = tapbranch_hash_batch(level[0::2], level[1::2])
+        if l + 1 >= cutoff and l + 1 < depth:
+            upper.append(level)
+    fetched = [np.asarray(u) for u in upper]
+    upper_np = [
+        np.ascontiguousarray(u.astype(">u4")).view(np.uint8).reshape(-1, 32)
+        for u in fetched
+    ]
+    root_words = np.asarray(level)[0]
+    root = root_words.astype(">u4").tobytes()
+    return root, upper_np

@@ -201,6 +201,24 @@ def _leaf_script_from_row(
 # (~n/2^LEVEL_CUTOFF entries instead of ~2n).
 LEVEL_CUTOFF = 8
 
+
+def _device_commit_enabled() -> bool:
+    """Device (TPU) taptree hashing: TAPSTARK_DEVICE_COMMIT=1/0 overrides;
+    default on only when the active JAX backend is a real TPU."""
+    import os
+
+    v = os.environ.get("TAPSTARK_DEVICE_COMMIT")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
 _TREE_POOL = None
 
 
@@ -405,7 +423,10 @@ class TCS:
         """One tree (per shard) per query repetition, fresh bit commitments
         each (mod.rs:284-292). Assignment is sequential (deterministic
         secrets); the native tree builds release the GIL and run on a
-        thread pool."""
+        thread pool. On a TPU backend the tapleaf/branch hashing runs as a
+        device kernel instead (commit/device_commit.py): leaf tails are
+        repetition-independent, so the byte construction happens once per
+        shard and each repetition re-hashes from its own head midstate."""
         from ..utils.profiling import span
 
         with span("tcs/padding-matrix"):
@@ -418,6 +439,8 @@ class TCS:
             ]
         from .. import native
 
+        if native.get_lib() is not None and _device_commit_enabled():
+            return self._commit_device(matrices, values_np, assignments, bounds)
         if native.get_lib() is not None and total_query_times > 1:
             with span("tcs/tree-builds"):
                 return list(
@@ -428,6 +451,46 @@ class TCS:
                 )
         with span("tcs/tree-builds"):
             return [self._build(matrices, values_np, a, bounds) for a in assignments]
+
+    def _commit_device(self, matrices, values_np, assignments, bounds):
+        """Device tree builds (TPU): shared per-shard suffix construction,
+        per-repetition tapleaf + TapBranch hashing in one jitted program.
+        Roots/upper-levels are byte-identical to the host engine's; the open
+        path (SparseNativeTaptree leaf-block rebuild) is unchanged."""
+        from ..utils.profiling import span
+        from . import device_commit as dc
+
+        reps = len(assignments)
+        depth = max((values_np.shape[0] - 1).bit_length(), 0)
+        cutoff = min(LEVEL_CUTOFF, depth)
+        trees_by_rep = [[None] * len(bounds) for _ in range(reps)]
+        with span("tcs/tree-builds"):
+            for s, (lo, hi) in enumerate(bounds):
+                vs = np.ascontiguousarray(values_np[:, lo:hi])
+                heads = [assignments[r][s][1] for r in range(reps)]
+                fixed0 = assignments[0][s][2]
+                plan = dc.ShardSuffixPlan(len(heads[0]), fixed0)
+                suffix = dc.build_tail_suffix_words(vs, plan)
+                mids, remws = plan.head_midstates_batch(heads)
+                for r in range(reps):
+                    use_bcs, head, fixed_len = assignments[r][s]
+                    assert len(head) == len(heads[0]) and fixed_len == fixed0
+                    root, upper = dc.shard_tree_device(
+                        suffix, mids[r], remws[r], cutoff
+                    )
+                    trees_by_rep[r][s] = SparseNativeTaptree(
+                        root, upper, vs.shape[0], head, fixed_len, vs
+                    )
+        return [
+            CommitedData(
+                leaves=matrices,
+                trees=trees_by_rep[r],
+                use_bcs_list=[assignments[r][s][0] for s in range(len(bounds))],
+                bounds=bounds,
+                values_np=values_np,
+            )
+            for r in range(reps)
+        ]
 
     def open_with_one_query(
         self, query_times_index: int, query_index: int, prover_data: list[CommitedData]

@@ -55,24 +55,46 @@ def _rotr(x, n):
 
 def compress_batch(state, block):
     """One SHA-256 compression per lane: state (..., 8) uint32, block
-    (..., 16) uint32 big-endian words -> new state (..., 8)."""
-    w = [block[..., i] for i in range(16)]
-    for i in range(16, 64):
-        s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ (w[i - 15] >> jnp.uint32(3))
-        s1 = _rotr(w[i - 2], 17) ^ _rotr(w[i - 2], 19) ^ (w[i - 2] >> jnp.uint32(10))
-        w.append(w[i - 16] + s0 + w[i - 7] + s1)
+    (..., 16) uint32 big-endian words -> new state (..., 8).
 
-    a, b, c, d, e, f, g, h = (state[..., i] for i in range(8))
-    for i in range(64):
+    Both the message schedule and the 64 rounds run as lax.scan: the fully
+    unrolled form (64 live schedule words feeding 64 sequential rounds)
+    sends XLA:CPU's scheduler into a multi-minute compile, while the scanned
+    body compiles instantly and the per-iteration loop overhead amortizes
+    over the (large) lane batch."""
+    from jax import lax
+
+    def sched_body(w, _):
+        s0 = (
+            _rotr(w[..., 1], 7)
+            ^ _rotr(w[..., 1], 18)
+            ^ (w[..., 1] >> jnp.uint32(3))
+        )
+        s1 = (
+            _rotr(w[..., 14], 17)
+            ^ _rotr(w[..., 14], 19)
+            ^ (w[..., 14] >> jnp.uint32(10))
+        )
+        new = w[..., 0] + s0 + w[..., 9] + s1
+        return jnp.concatenate([w[..., 1:], new[..., None]], axis=-1), new
+
+    _, w_ext = lax.scan(sched_body, block, None, length=48)  # (48, ...)
+    w_all = jnp.concatenate([jnp.moveaxis(block, -1, 0), w_ext], axis=0)
+
+    def round_body(c, xs):
+        a, b, cc, d, e, f, g, h = c
+        wi, ki = xs
         s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + s1 + ch + jnp.uint32(int(_K[i])) + w[i]
+        t1 = h + s1 + ch + ki + wi
         s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
-        maj = (a & b) ^ (a & c) ^ (b & c)
+        maj = (a & b) ^ (a & cc) ^ (b & cc)
         t2 = s0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
-    return out + state
+        return (t1 + t2, a, b, cc, d + t1, e, f, g), None
+
+    init = tuple(state[..., i] for i in range(8))
+    out, _ = lax.scan(round_body, init, (w_all, jnp.asarray(_K)))
+    return jnp.stack(out, axis=-1) + state
 
 
 def sha256_blocks(blocks):
@@ -101,16 +123,39 @@ def pad_to_blocks(msg_words: int, msg_bytes: int) -> tuple[int, np.ndarray, np.n
     return nblocks, pad, None
 
 
+def _compress_np(state: np.ndarray, block: np.ndarray) -> np.ndarray:
+    """Pure-numpy single SHA-256 compression (host constants only — e.g.
+    tag midstates — so it stays usable inside jit traces)."""
+    M = np.uint64(0xFFFFFFFF)
+
+    def rotr(x, n):
+        return ((x >> np.uint64(n)) | (x << np.uint64(32 - n))) & M
+
+    w = [np.uint64(x) for x in block]
+    for i in range(16, 64):
+        s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> np.uint64(3))
+        s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> np.uint64(10))
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & M)
+    a, b, c, d, e, f, g, h = (np.uint64(x) for x in state)
+    for i in range(64):
+        s1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+        ch = (e & f) ^ (~e & g & M)
+        t1 = (h + s1 + ch + np.uint64(int(_K[i])) + w[i]) & M
+        s0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (s0 + maj) & M
+        h, g, f, e, d, c, b, a = g, f, e, (d + t1) & M, c, b, a, (t1 + t2) & M
+    out = np.array([a, b, c, d, e, f, g, h], dtype=np.uint64)
+    return ((out + state.astype(np.uint64)) & M).astype(np.uint32)
+
+
 @functools.lru_cache(maxsize=None)
 def tag_midstate_words(tag: bytes) -> np.ndarray:
     """(8,) uint32: SHA-256 state after the one-block tagged-hash prefix
-    sha256(tag) || sha256(tag)."""
+    sha256(tag) || sha256(tag) (pure numpy: safe to call under jit)."""
     t = sha256(tag)
     block = np.frombuffer(t + t, dtype=">u4").astype(np.uint32)
-    state = compress_batch(
-        jnp.asarray(IV)[None, :], jnp.asarray(block)[None, :]
-    )
-    return np.asarray(state)[0]
+    return _compress_np(IV.copy(), block)
 
 
 def tagged_hash_fixed_batch(tag: bytes, msg_words, msg_bytes: int):

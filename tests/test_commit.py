@@ -15,7 +15,7 @@ from tapstark.commit import (
     padding_matrix,
     verify_inclusion,
 )
-from tapstark.field import EF4, F
+from tapstark.field import EF4, F, P
 from tapstark.script import ScriptBuilder
 from tapstark.script import opcodes as op
 
@@ -142,3 +142,48 @@ def test_taptree_mmcs_extension_field():
         # tampered opened value fails
         openings[0][1] = openings[0][1] + EF4.one()
         assert not mmcs.verify_batch(0, openings, proof, commits)
+
+
+def test_device_commit_matches_host_roots():
+    """The device (jnp) taptree path must be byte-identical to the host
+    engine: same roots, same upper levels, same opened branches."""
+    import os
+
+    import numpy as np
+
+    from tapstark.commit.tcs import TCS, FMatrix
+
+    rng = np.random.default_rng(3)
+    cases = [
+        [FMatrix(rng.integers(0, P, (64, 2)).astype(np.uint32))],
+        [FMatrix(rng.integers(0, P, (32, 2, 4)).astype(np.uint32))],
+        [
+            FMatrix(rng.integers(0, P, (64, 2)).astype(np.uint32)),
+            FMatrix(rng.integers(0, P, (16, 3)).astype(np.uint32)),
+        ],
+        [FMatrix(rng.integers(0, P, (16, 60)).astype(np.uint32))],
+    ]
+    old = os.environ.get("TAPSTARK_DEVICE_COMMIT")
+    try:
+        for mats in cases:
+            os.environ["TAPSTARK_DEVICE_COMMIT"] = "1"
+            d1 = TCS(BcManager()).commit_poly_with_query_times(mats, 2)
+            os.environ["TAPSTARK_DEVICE_COMMIT"] = "0"
+            d2 = TCS(BcManager()).commit_poly_with_query_times(mats, 2)
+            for r in range(2):
+                assert [t.root_hash for t in d1[r].trees] == [
+                    t.root_hash for t in d2[r].trees
+                ]
+                q1 = d1[r].query_proof(5)
+                q2 = d2[r].query_proof(5)
+                s1 = q1.shards if hasattr(q1, "shards") else [q1]
+                s2 = q2.shards if hasattr(q2, "shards") else [q2]
+                for a, b in zip(s1, s2):
+                    assert a.leaf.script == b.leaf.script
+                    assert a.leaf.leaf_hash == b.leaf.leaf_hash
+                    assert a.leaf.merkle_branch == b.leaf.merkle_branch
+    finally:
+        if old is None:
+            os.environ.pop("TAPSTARK_DEVICE_COMMIT", None)
+        else:
+            os.environ["TAPSTARK_DEVICE_COMMIT"] = old
