@@ -234,12 +234,61 @@ def _branch_level_jit(level):
     return tapbranch_hash_batch(level[0::2], level[1::2])
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
+    """ALL repetitions of one shard in one program: suffix (N, W) shared,
+    midstates (R, 8) + rem_words (R, W) per rep. Returns (roots (R, 8),
+    [upper level arrays (R, n_l, 8) for l >= cutoff]). One device dispatch
+    chain per shard instead of per (rep, level) — the relay's per-call
+    latency made per-rep loops the bottleneck."""
+    from jax import lax
+
+    r, w = rem_words.shape
+    n = suffix_words.shape[0]
+    words = (suffix_words[None, :, :] | rem_words[:, None, :]).reshape(
+        r, n, w // 16, 16
+    )
+    blocks = jnp.moveaxis(words, 2, 0)  # (nb, R, N, 16)
+    state0 = jnp.broadcast_to(midstates[:, None, :], (r, n, 8))
+
+    def body(state, blk):
+        return compress_batch(state, blk), None
+
+    level, _ = lax.scan(body, state0, blocks)  # (R, N, 8)
+    depth = max((n - 1).bit_length(), 0)
+    upper = []
+    for l in range(depth):
+        level = tapbranch_hash_batch(level[:, 0::2, :], level[:, 1::2, :])
+        if l + 1 >= cutoff and l + 1 < depth:
+            upper.append(level)
+    return level[:, 0, :], upper
+
+
 def tapleaf_hashes_device(suffix_words, midstate: np.ndarray, rem_words: np.ndarray):
     """suffix_words (N, suf_words) uint32 (rem region zero), per-rep head
     midstate (8,) + rem words (suf_words,) -> (N, 8) tapleaf digests."""
     return _leaf_hash_jit(
         suffix_words, jnp.asarray(midstate), jnp.asarray(rem_words)
     )
+
+
+def shard_trees_rep_group(suffix_words, midstates: np.ndarray, rem_words: np.ndarray, cutoff: int):
+    """A group of repetitions of one shard in one jitted program: returns
+    (roots: [bytes]*R, uppers: [per-level (R, n_l, 32) uint8 arrays])."""
+    roots_dev, upper_dev = _trees_all_reps_jit(
+        suffix_words, jnp.asarray(midstates), jnp.asarray(rem_words), cutoff
+    )
+    fetched = jax.device_get((roots_dev, upper_dev))
+    roots_np, uppers_np = fetched
+    roots = [
+        np.ascontiguousarray(roots_np[r].astype(">u4")).tobytes()
+        for r in range(roots_np.shape[0])
+    ]
+    uppers = [
+        np.ascontiguousarray(u.astype(">u4")).view(np.uint8).reshape(u.shape[0], -1, 32)
+        for u in uppers_np
+    ]
+    return roots, uppers
 
 
 def shard_tree_device(suffix_words, midstate: np.ndarray, rem_words: np.ndarray, cutoff: int):

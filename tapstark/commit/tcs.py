@@ -201,23 +201,29 @@ def _leaf_script_from_row(
 # (~n/2^LEVEL_CUTOFF entries instead of ~2n).
 LEVEL_CUTOFF = 8
 
+# below this leaf count the host SHA-NI engine wins: the device path's
+# per-dispatch (relay) latency dominates small trees (FRI tail layers)
+_DEVICE_COMMIT_MIN_LEAVES = 1 << 15
 
-def _device_commit_enabled() -> bool:
-    """Device (TPU) taptree hashing: TAPSTARK_DEVICE_COMMIT=1/0 overrides;
-    default on only when the active JAX backend is a real TPU."""
+
+def _device_commit_enabled() -> tuple[bool, bool]:
+    """Device (TPU) taptree hashing. Returns (enabled, forced):
+    TAPSTARK_DEVICE_COMMIT=1 forces it at any size (tests), =0 disables;
+    default = on only when the active JAX backend is a real TPU, and then
+    only for trees of >= _DEVICE_COMMIT_MIN_LEAVES leaves."""
     import os
 
     v = os.environ.get("TAPSTARK_DEVICE_COMMIT")
     if v == "0":
-        return False
+        return False, False
     if v == "1":
-        return True
+        return True, True
     try:
         import jax
 
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu", False
     except Exception:  # pragma: no cover
-        return False
+        return False, False
 
 _TREE_POOL = None
 
@@ -439,7 +445,12 @@ class TCS:
             ]
         from .. import native
 
-        if native.get_lib() is not None and _device_commit_enabled():
+        dev_on, dev_forced = _device_commit_enabled()
+        if (
+            native.get_lib() is not None
+            and dev_on
+            and (dev_forced or values_np.shape[0] >= _DEVICE_COMMIT_MIN_LEAVES)
+        ):
             return self._commit_device(matrices, values_np, assignments, bounds)
         if native.get_lib() is not None and total_query_times > 1:
             with span("tcs/tree-builds"):
@@ -454,15 +465,20 @@ class TCS:
 
     def _commit_device(self, matrices, values_np, assignments, bounds):
         """Device tree builds (TPU): shared per-shard suffix construction,
-        per-repetition tapleaf + TapBranch hashing in one jitted program.
-        Roots/upper-levels are byte-identical to the host engine's; the open
-        path (SparseNativeTaptree leaf-block rebuild) is unchanged."""
+        then ALL repetitions' tapleaf + TapBranch hashing in one jitted
+        program per rep-group (per-rep dispatch loops drown in the remote
+        relay's per-call latency). Roots/upper-levels are byte-identical to
+        the host engine's; the open path (SparseNativeTaptree leaf-block
+        rebuild) is unchanged."""
         from ..utils.profiling import span
         from . import device_commit as dc
 
         reps = len(assignments)
-        depth = max((values_np.shape[0] - 1).bit_length(), 0)
+        n = values_np.shape[0]
+        depth = max((n - 1).bit_length(), 0)
         cutoff = min(LEVEL_CUTOFF, depth)
+        # rep-group size: keep R_g * N lanes under ~2^26 (≈2 GB of states)
+        group = max(1, min(reps, (1 << 26) // max(n, 1)))
         trees_by_rep = [[None] * len(bounds) for _ in range(reps)]
         with span("tcs/tree-builds"):
             for s, (lo, hi) in enumerate(bounds):
@@ -472,15 +488,22 @@ class TCS:
                 plan = dc.ShardSuffixPlan(len(heads[0]), fixed0)
                 suffix = dc.build_tail_suffix_words(vs, plan)
                 mids, remws = plan.head_midstates_batch(heads)
-                for r in range(reps):
-                    use_bcs, head, fixed_len = assignments[r][s]
-                    assert len(head) == len(heads[0]) and fixed_len == fixed0
-                    root, upper = dc.shard_tree_device(
-                        suffix, mids[r], remws[r], cutoff
+                for g0 in range(0, reps, group):
+                    g1 = min(g0 + group, reps)
+                    roots, uppers = dc.shard_trees_rep_group(
+                        suffix, mids[g0:g1], remws[g0:g1], cutoff
                     )
-                    trees_by_rep[r][s] = SparseNativeTaptree(
-                        root, upper, vs.shape[0], head, fixed_len, vs
-                    )
+                    for j, r in enumerate(range(g0, g1)):
+                        use_bcs, head, fixed_len = assignments[r][s]
+                        assert len(head) == len(heads[0]) and fixed_len == fixed0
+                        trees_by_rep[r][s] = SparseNativeTaptree(
+                            roots[j],
+                            [u[j] for u in uppers],
+                            n,
+                            head,
+                            fixed_len,
+                            vs,
+                        )
         return [
             CommitedData(
                 leaves=matrices,

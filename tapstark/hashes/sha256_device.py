@@ -160,9 +160,10 @@ def tag_midstate_words(tag: bytes) -> np.ndarray:
 
 def tagged_hash_fixed_batch(tag: bytes, msg_words, msg_bytes: int):
     """Batched tagged_hash over fixed-length messages that are a whole
-    number of u32 words: msg_words (N, W) uint32 big-endian -> (N, 8).
+    number of u32 words: msg_words (..., W) uint32 big-endian -> (..., 8).
     The message length includes the 64-byte prefix for padding purposes."""
-    n, w = msg_words.shape
+    w = msg_words.shape[-1]
+    lead = msg_words.shape[:-1]
     assert msg_bytes == 4 * w
     total = 64 + msg_bytes  # prefix block + message
     # padding for the FULL sha256 input (prefix included in the bit length)
@@ -175,13 +176,16 @@ def tagged_hash_fixed_batch(tag: bytes, msg_words, msg_bytes: int):
     pad[-2] = (bitlen >> 32) & 0xFFFFFFFF
     pad[-1] = bitlen & 0xFFFFFFFF
 
-    state = jnp.broadcast_to(jnp.asarray(tag_midstate_words(tag)), (n, 8))
+    state = jnp.broadcast_to(jnp.asarray(tag_midstate_words(tag)), lead + (8,))
     padded = jnp.concatenate(
-        [msg_words, jnp.broadcast_to(jnp.asarray(pad), (n, pad_len_words))],
-        axis=1,
+        [
+            msg_words,
+            jnp.broadcast_to(jnp.asarray(pad), lead + (pad_len_words,)),
+        ],
+        axis=-1,
     )
     for i in range(nblocks):
-        state = compress_batch(state, padded[:, 16 * i : 16 * i + 16])
+        state = compress_batch(state, padded[..., 16 * i : 16 * i + 16])
     return state
 
 
