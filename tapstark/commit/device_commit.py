@@ -24,7 +24,7 @@ Reference anchor: the num_queries-cloned tree commit this re-architects is
 
 from __future__ import annotations
 
-import hashlib
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -169,9 +169,6 @@ class ShardSuffixPlan:
         return np.asarray(states), remw
 
 
-import functools
-
-
 @jax.jit
 def _head_midstates_jit(blocks, midstate):
     """blocks (R, nb, 16) uint32, midstate (8,) -> (R, 8)."""
@@ -208,7 +205,6 @@ def build_tail_suffix_words(values_shard, plan: ShardSuffixPlan, base_index: int
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-@jax.jit
 def _leaf_hash_jit(suffix_words, midstate, rem_words):
     """(N, suf_words) suffix + per-rep head midstate/rem -> (N, 8) tapleaf
     digests. lax.scan over the block axis keeps the compiled program at ONE
@@ -227,7 +223,6 @@ def _leaf_hash_jit(suffix_words, midstate, rem_words):
     return state
 
 
-@jax.jit
 def _branch_level_jit(level):
     """One TapBranch level: (n, 8) -> (n/2, 8). Compiled once per shape and
     shared across repetitions, shards, and FRI layers of the same height."""
@@ -264,14 +259,6 @@ def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
     return level[:, 0, :], upper
 
 
-def tapleaf_hashes_device(suffix_words, midstate: np.ndarray, rem_words: np.ndarray):
-    """suffix_words (N, suf_words) uint32 (rem region zero), per-rep head
-    midstate (8,) + rem words (suf_words,) -> (N, 8) tapleaf digests."""
-    return _leaf_hash_jit(
-        suffix_words, jnp.asarray(midstate), jnp.asarray(rem_words)
-    )
-
-
 def shard_trees_rep_group(suffix_words, midstates: np.ndarray, rem_words: np.ndarray, cutoff: int):
     """A group of repetitions of one shard in one jitted program: returns
     (roots: [bytes]*R, uppers: [per-level (R, n_l, 32) uint8 arrays])."""
@@ -291,42 +278,3 @@ def shard_trees_rep_group(suffix_words, midstates: np.ndarray, rem_words: np.nda
     return roots, uppers
 
 
-def shard_tree_device(suffix_words, midstate: np.ndarray, rem_words: np.ndarray, cutoff: int):
-    """Per-repetition tree from the shared suffix words: returns
-    (root bytes, upper levels >= cutoff as [(n>>l, 32) uint8, ...] matching
-    tcs_commit_sparse_native)."""
-    level = tapleaf_hashes_device(suffix_words, midstate, rem_words)
-    depth = max((int(level.shape[0]) - 1).bit_length(), 0)
-    upper = []
-    for l in range(depth):
-        level = _branch_level_jit(level)
-        if l + 1 >= cutoff and l + 1 < depth:
-            upper.append(level)
-    upper_np = [
-        np.ascontiguousarray(np.asarray(u).astype(">u4"))
-        .view(np.uint8)
-        .reshape(-1, 32)
-        for u in upper
-    ]
-    root = np.asarray(level)[0].astype(">u4").tobytes()
-    return root, upper_np
-
-
-def tree_levels_device(leaf_hashes, cutoff: int):
-    """leaf_hashes (N, 8) -> (root bytes, upper levels >= cutoff as
-    [(N>>cutoff, 32) uint8, ...] matching tcs_commit_sparse_native)."""
-    level = leaf_hashes
-    depth = max((int(level.shape[0]) - 1).bit_length(), 0)
-    upper = []
-    for l in range(depth):
-        level = tapbranch_hash_batch(level[0::2], level[1::2])
-        if l + 1 >= cutoff and l + 1 < depth:
-            upper.append(level)
-    fetched = [np.asarray(u) for u in upper]
-    upper_np = [
-        np.ascontiguousarray(u.astype(">u4")).view(np.uint8).reshape(-1, 32)
-        for u in fetched
-    ]
-    root_words = np.asarray(level)[0]
-    root = root_words.astype(">u4").tobytes()
-    return root, upper_np

@@ -21,7 +21,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from .sha256 import TAPSCRIPT_LEAF_VERSION, compact_size, sha256
+from .sha256 import sha256
 
 _K = np.array(
     [
@@ -105,22 +105,6 @@ def sha256_blocks(blocks):
     for i in range(nb):
         state = compress_batch(state, blocks[:, i, :])
     return state
-
-
-def pad_to_blocks(msg_words: int, msg_bytes: int) -> tuple[int, np.ndarray, np.ndarray]:
-    """Padding plan for fixed-length messages that are a whole number of
-    u32 words: returns (nblocks, pad_words (W,), mask) where the padded
-    message = msg_words columns followed by the constant pad columns."""
-    assert msg_bytes == 4 * msg_words
-    total = msg_bytes + 1 + 8  # 0x80 + 64-bit length
-    nblocks = -(-total // 64)
-    pad_len_words = nblocks * 16 - msg_words
-    pad = np.zeros(pad_len_words, dtype=np.uint32)
-    pad[0] = 0x80000000
-    bitlen = msg_bytes * 8
-    pad[-2] = (bitlen >> 32) & 0xFFFFFFFF
-    pad[-1] = bitlen & 0xFFFFFFFF
-    return nblocks, pad, None
 
 
 def _compress_np(state: np.ndarray, block: np.ndarray) -> np.ndarray:
@@ -207,6 +191,3 @@ def tapbranch_hash_batch(h1, h2):
     )
 
 
-def tapleaf_prefix(script_len: int, leaf_version: int = TAPSCRIPT_LEAF_VERSION) -> bytes:
-    """The message bytes preceding the script in a TapLeaf hash."""
-    return bytes([leaf_version]) + compact_size(script_len)
