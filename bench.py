@@ -55,10 +55,35 @@ def _numpy_ntt_butterfly_cost(log_n: int = 14) -> float:
     return dt / (n // 2 * log_n)
 
 
+def _accelerator_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe the (possibly remote) accelerator in a SUBPROCESS with a hard
+    timeout: a wedged axon relay hangs backend init indefinitely, which
+    would otherwise hang the whole bench."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import os
 
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not _accelerator_reachable():
+        # fall back to CPU rather than hanging on a dead relay
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compilation cache: remote-TPU compiles dominate wall-clock
     # (minutes); cached re-runs skip them entirely.
