@@ -76,3 +76,52 @@ def test_script_verifier_rejects_tampered_openings():
     )
     with pytest.raises(Exception):
         generate_script_verifier(pcs, FibonacciAir(), BfChallenger(), proof, pis)
+
+
+def test_fold_hint_tamper_rejected():
+    """The multiplied-through fold identity binds the committed folded
+    value: corrupting a query's g hint must fail that query's script."""
+    num_queries = 2
+    pcs = _make_pcs(num_queries=num_queries, log_blowup=1, pow_bits=2)
+    trace = generate_fibonacci_trace(0, 1, 1 << 3)
+    pis = [F(0), F(1), F(int(trace[-1, 1]))]
+    challenger = BfChallenger()
+    proof = prove(pcs, FibonacciAir(), challenger, trace, pis)
+
+    ch = BfChallenger()
+    ch.observe_commitment(proof.commitments.trace)
+    ch.sample()  # alpha
+    ch.observe_commitment(proof.commitments.quotient_chunks)
+    zeta = ch.sample()
+    from tapstark.poly.domain import TwoAdicMultiplicativeCoset
+
+    trace_domain = pcs.natural_domain_for_degree(1 << proof.degree_bits)
+    zeta_next = trace_domain.next_point(zeta)
+    from tapstark.air.symbolic import get_log_quotient_degree as qd
+
+    quotient_domain = trace_domain.create_disjoint_domain(
+        1 << (proof.degree_bits + qd(FibonacciAir(), len(pis)))
+    )
+    chunks = quotient_domain.split_domains(1 << qd(FibonacciAir(), len(pis)))
+    ov = proof.opened_values
+    ma = pcs.generate_verify_expr(
+        [
+            (proof.commitments.trace,
+             [(trace_domain, [(zeta, ov.trace_local), (zeta_next, ov.trace_next)])]),
+            (proof.commitments.quotient_chunks,
+             [(d, [(zeta, v)]) for d, v in zip(chunks, ov.quotient_chunks)]),
+        ],
+        proof.opening_proof,
+        ch,
+    )
+    m = ma.managers[0]
+    m.run()  # untampered passes
+    # corrupt the first EF4 hint input (a fold g or a ro group quotient)
+    from tapstark.field.constants import P as _P
+
+    hint = next(iv for iv in m.inputs if iv.is_hint and isinstance(iv.value, EF4))
+    bad = list(hint.value.c)
+    bad[0] = (bad[0] + 1) % _P
+    hint.value = EF4(bad)
+    with pytest.raises(AssertionError):
+        m.run()
