@@ -160,6 +160,7 @@ def main() -> None:
                 "value": rate,
                 "unit": "butterflies/s",
                 "vs_baseline": vs_baseline,
+                "backend": jax.default_backend(),
                 "roofline": {
                     "hbm_traffic_gb": round(hbm_bytes / 1e9, 3),
                     "achieved_hbm_gbps": round(achieved_gbps, 1),
