@@ -290,7 +290,11 @@ class TwoAdicFriPcs:
     def verify(self, rounds, proof: FriProof, challenger: BfChallenger) -> None:
         """rounds: list of (commitment, list of (domain, list of (z, ys)))."""
         alpha: EF4 = challenger.sample()
-        log_global_max_height = len(proof.commit_phase_commits) + self.fri.log_blowup
+        log_global_max_height = (
+            len(proof.commit_phase_commits)
+            + self.fri.log_blowup
+            + self.fri.log_final_poly_len
+        )
 
         fri_challenges = fri_verifier.verify_shape_and_sample_challenges(
             self.fri, proof, challenger
@@ -345,7 +349,11 @@ class TwoAdicFriPcs:
         from . import script_verifier as fri_script
 
         alpha: EF4 = challenger.sample()
-        log_global_max_height = len(proof.commit_phase_commits) + self.fri.log_blowup
+        log_global_max_height = (
+            len(proof.commit_phase_commits)
+            + self.fri.log_blowup
+            + self.fri.log_final_poly_len
+        )
 
         fri_challenges = fri_script.bf_sample_challenges(self.fri, proof, challenger)
 

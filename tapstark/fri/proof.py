@@ -20,7 +20,7 @@ class BfQueryProof:
 class FriProof:
     commit_phase_commits: list[list[list[int]]]  # per layer: roots per query rep
     query_proofs: list[BfQueryProof]
-    final_poly: EF4
+    final_poly: EF4 | list[EF4]  # list = early-stopping FRI coefficients (low->high)
     pow_witness: int
 
 

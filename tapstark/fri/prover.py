@@ -18,7 +18,7 @@ import numpy as np
 
 from ..challenger import BfChallenger
 from ..commit.tcs import FMatrix
-from ..field.device import ef_add, fetch_canonical, np_from_mont, to_mont
+from ..field.device import ef_add, fetch_canonical, np_from_mont, np_to_mont, to_mont
 from ..field.scalar import EF4
 from ..poly.fold import fold_matrix_jit
 from ..utils import log2_strict
@@ -79,7 +79,8 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
     data = []
     from ..utils.profiling import span
 
-    while folded.shape[0] > config.blowup():
+    stop = config.blowup() * config.final_poly_len()
+    while folded.shape[0] > stop:
         half = folded.shape[0] // 2
         mat_dev = folded.reshape(half, 2, 4)
         with span("fri/layer-fetch"):
@@ -98,14 +99,36 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
             folded = ef_add(folded, pending)
             pending = next(inputs_iter, None)
 
-    # We should be left with `blowup` evaluations of a constant polynomial.
-    assert folded.shape[0] == config.blowup()
+    assert folded.shape[0] == stop
+    assert pending is None, (
+        "log_final_poly_len too large: an input height was never absorbed"
+    )
     final_host = fetch_canonical(folded)
-    final_poly = EF4([int(x) for x in final_host[0]])
-    for row in final_host:
-        assert EF4([int(x) for x in row]) == final_poly, "final poly is not constant"
+    if config.log_final_poly_len == 0:
+        # `blowup` evaluations of a constant polynomial
+        final_poly = EF4([int(x) for x in final_host[0]])
+        for row in final_host:
+            assert EF4([int(x) for x in row]) == final_poly, (
+                "final poly is not constant"
+            )
+        return commits, data, final_poly
 
-    return commits, data, final_poly
+    # Early stop: the layer holds blowup * 2^L bit-reversed evaluations of a
+    # degree-<2^L polynomial over the natural domain of that size. Extract
+    # coefficients with an iNTT per extension component (twiddles are base
+    # field, so components transform independently) and check the high
+    # coefficients vanish — the prover-side low-degree guarantee.
+    from ..poly.ntt import intt
+    from ..utils import bitrev_indices
+
+    m = final_host.shape[0]
+    nat = final_host[bitrev_indices(m.bit_length() - 1)]
+    coeffs = np_from_mont(
+        np.asarray(intt(jnp.asarray(np_to_mont(nat))))
+    )
+    flen = config.final_poly_len()
+    assert (coeffs[flen:] == 0).all(), "final poly exceeds the declared degree"
+    return commits, data, [EF4([int(x) for x in row]) for row in coeffs[:flen]]
 
 
 def _answer_query(config: FriConfig, commit_phase_data, query_index: int, qti: int):

@@ -92,7 +92,11 @@ def bf_verify_challenges(
     per FRI query (reference fri/src/script_verifier.rs:85-140); wide traces
     may spill the reduced-opening computation into extra chained sub-managers
     (see TwoAdicFriPcs.generate_verify_expr)."""
-    log_max_height = len(proof.commit_phase_commits) + config.log_blowup
+    log_max_height = (
+        len(proof.commit_phase_commits)
+        + config.log_blowup
+        + config.log_final_poly_len
+    )
     manager_assign = ManagerAssign()
     for (qti, query_index), query_proof in zip(
         challenges.query_indices, proof.query_proofs
@@ -103,7 +107,7 @@ def bf_verify_challenges(
         ro = open_input(
             qti, query_index, query_proof.input_proof, manager, manager_assign
         )
-        folded_eval = _bf_verify_query(
+        folded_eval, x_final, folded_native = _bf_verify_query(
             config,
             proof,
             query_index,
@@ -114,8 +118,20 @@ def bf_verify_challenges(
             log_max_height,
             manager,
         )
-        final_poly_input = manager.assign_input_f(proof.final_poly)
-        manager.set_exec_dsl(folded_eval.equal(final_poly_input))
+        if config.log_final_poly_len == 0:
+            assert folded_native == proof.final_poly, "native fold mirror drift"
+            final_poly_input = manager.assign_input_f(proof.final_poly)
+            manager.set_exec_dsl(folded_eval.equal(final_poly_input))
+        else:
+            # Horner evaluation of the committed final coefficients at the
+            # query's stop-domain point (one ext-by-base multiply per
+            # coefficient); the coefficients are shared witness values
+            # across every query segment.
+            coeff_in = [manager.assign_input_f(c) for c in proof.final_poly]
+            acc = coeff_in[-1]
+            for c_in in reversed(coeff_in[:-1]):
+                acc = acc * x_final + c_in
+            manager.set_exec_dsl(folded_eval.equal(acc))
     return manager_assign
 
 
@@ -182,6 +198,12 @@ def _bf_verify_query(
             x = x.square()
             x_hint = x_hint * x_hint
 
-    assert query_index < config.blowup()
-    assert folded_native == proof.final_poly, "native fold mirror drift"
-    return folded_eval
+    assert query_index < config.blowup() * config.final_poly_len()
+    if config.log_final_poly_len > 0:
+        # x must sit at the stop height for the final Horner evaluation
+        log_m = config.log_blowup + config.log_final_poly_len
+        assert log_m >= 2, "log_blowup + log_final_poly_len must be >= 2"
+        assert x_hint == F.two_adic_generator(log_m).exp(
+            reverse_bits_len(query_index, log_m)
+        ), "script x diverged from the stop-domain point"
+    return folded_eval, x, folded_native

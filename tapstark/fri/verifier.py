@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ..challenger import BfChallenger
-from ..field.scalar import EF4
+from ..field.scalar import EF4, F
 from ..poly.fold import fold_row_scalar
 from .config import FriConfig
 from .proof import FriProof
@@ -42,7 +42,11 @@ def verify_shape_and_sample_challenges(
     if not challenger.check_witness(config.proof_of_work_bits, proof.pow_witness):
         raise FriError("InvalidPowWitness")
 
-    log_max_height = len(proof.commit_phase_commits) + config.log_blowup
+    log_max_height = (
+        len(proof.commit_phase_commits)
+        + config.log_blowup
+        + config.log_final_poly_len
+    )
     query_indices = [
         (qti, challenger.sample_bits(log_max_height))
         for qti in range(config.num_queries)
@@ -58,12 +62,16 @@ def verify_challenges(
 ) -> None:
     """open_input(query_times_index, query_index, input_proof) ->
     list[(log_height, reduced_opening)] descending."""
-    log_max_height = len(proof.commit_phase_commits) + config.log_blowup
+    log_max_height = (
+        len(proof.commit_phase_commits)
+        + config.log_blowup
+        + config.log_final_poly_len
+    )
     for (qti, query_index), query_proof in zip(
         challenges.query_indices, proof.query_proofs
     ):
         ro = open_input(qti, query_index, query_proof.input_proof)
-        folded_eval = _verify_query(
+        folded_eval, final_index = _verify_query(
             config,
             proof.commit_phase_commits,
             query_index,
@@ -73,8 +81,23 @@ def verify_challenges(
             ro,
             log_max_height,
         )
-        if folded_eval != proof.final_poly:
-            raise FriError("FinalPolyMismatch")
+        if config.log_final_poly_len == 0:
+            if folded_eval != proof.final_poly:
+                raise FriError("FinalPolyMismatch")
+        else:
+            # evaluate the final polynomial at the query's point in the stop
+            # domain: x = g_m^{rev(index)}, m = blowup * 2^L
+            from ..utils import reverse_bits_len
+
+            log_m = config.log_blowup + config.log_final_poly_len
+            x = F.two_adic_generator(log_m).exp(
+                reverse_bits_len(final_index, log_m)
+            )
+            acc = EF4.zero()
+            for c in reversed(proof.final_poly):
+                acc = acc * EF4.from_base(x) + c
+            if folded_eval != acc:
+                raise FriError("FinalPolyMismatch")
 
 
 def _verify_query(
@@ -126,6 +149,6 @@ def _verify_query(
             opened_values[0][1],
         )
 
-    if query_index >= config.blowup():
+    if query_index >= config.blowup() * config.final_poly_len():
         raise FriError(f"index out of range: {query_index}")
-    return folded_eval
+    return folded_eval, query_index

@@ -163,6 +163,9 @@ def _r_batch_opening(b) -> BatchOpening:
 
 
 def _w_fri_proof(b, fp: FriProof):
+    """final_poly: a single EF4 (format v1, fold-to-constant) or a coeff
+    list (format v2, early-stopping FRI — see FriConfig.log_final_poly_len);
+    the header byte disambiguates so v1 proof bytes are unchanged."""
     _w_u32(b, len(fp.commit_phase_commits))
     for roots in fp.commit_phase_commits:
         _w_roots(b, roots)
@@ -179,11 +182,16 @@ def _w_fri_proof(b, fp: FriProof):
                 for v in row:
                     _w_scalar(b, v)
             _w_commited_proof(b, cp)
-    _w_ef(b, fp.final_poly)
+    if isinstance(fp.final_poly, list):
+        _w_u32(b, len(fp.final_poly))
+        for c in fp.final_poly:
+            _w_ef(b, c)
+    else:
+        _w_ef(b, fp.final_poly)
     _w_u32(b, fp.pow_witness)
 
 
-def _r_fri_proof(b) -> FriProof:
+def _r_fri_proof(b, final_poly_list: bool = False) -> FriProof:
     commits = [_r_roots(b) for _ in range(_r_u32(b))]
     qps = []
     for _ in range(_r_u32(b)):
@@ -195,7 +203,10 @@ def _r_fri_proof(b) -> FriProof:
                 opened.append([_r_scalar(b) for _ in range(_r_u32(b))])
             openings.append((opened, _r_commited_proof(b)))
         qps.append(BfQueryProof(input_proof=input_proof, commit_phase_openings=openings))
-    final_poly = _r_ef(b)
+    if final_poly_list:
+        final_poly = [_r_ef(b) for _ in range(_r_u32(b))]
+    else:
+        final_poly = _r_ef(b)
     pow_witness = _r_u32(b)
     return FriProof(
         commit_phase_commits=commits,
@@ -207,7 +218,8 @@ def _r_fri_proof(b) -> FriProof:
 
 def proof_to_bytes(proof: Proof) -> bytes:
     b = io.BytesIO()
-    b.write(b"TAPSTARK\x01")
+    version = 2 if isinstance(proof.opening_proof.final_poly, list) else 1
+    b.write(b"TAPSTARK" + bytes([version]))
     _w_roots(b, proof.commitments.trace)
     _w_roots(b, proof.commitments.quotient_chunks)
     ov = proof.opened_values
@@ -228,7 +240,8 @@ def proof_to_bytes(proof: Proof) -> bytes:
 def proof_from_bytes(data: bytes) -> Proof:
     b = io.BytesIO(data)
     magic = b.read(9)
-    assert magic == b"TAPSTARK\x01", "bad proof header"
+    assert magic[:8] == b"TAPSTARK" and magic[8] in (1, 2), "bad proof header"
+    final_poly_list = magic[8] == 2
     trace = _r_roots(b)
     quotient = _r_roots(b)
     trace_local = [_r_ef(b) for _ in range(_r_u32(b))]
@@ -236,7 +249,7 @@ def proof_from_bytes(data: bytes) -> Proof:
     chunks = []
     for _ in range(_r_u32(b)):
         chunks.append([_r_ef(b) for _ in range(_r_u32(b))])
-    fri = _r_fri_proof(b)
+    fri = _r_fri_proof(b, final_poly_list)
     degree_bits = _r_u32(b)
     return Proof(
         commitments=Commitments(trace=trace, quotient_chunks=quotient),

@@ -205,3 +205,51 @@ def test_pcs_tampered_opening_rejected():
     bad = [v + EF4.one() for v in openings[0][0][0]]
     with pytest.raises(FriError):
         pcs.verify([(commit, [(domain, [(zeta, bad)])])], proof, v_ch)
+
+
+def test_early_stop_fri_end_to_end():
+    """log_final_poly_len > 0: fold stops at a degree-<2^L final polynomial
+    (coefficients in the proof, serde v2), every remaining layer verifies,
+    and tampering the coefficients is rejected."""
+    import numpy as np
+
+    from tapstark.airs import FibonacciAir, generate_fibonacci_trace
+    from tapstark.stark import prove, verify
+    from tapstark.stark.serde import proof_from_bytes, proof_to_bytes
+    from tapstark.stark.verifier import VerificationError
+
+    def mk(L):
+        fri = FriConfig(
+            log_blowup=2,
+            num_queries=3,
+            proof_of_work_bits=2,
+            mmcs=TapTreeMmcs(BcManager(), 3, ext=True),
+            log_final_poly_len=L,
+        )
+        return TwoAdicFriPcs(TapTreeMmcs(BcManager(), 3, ext=False), fri)
+
+    trace = generate_fibonacci_trace(0, 1, 64)
+    pis = [F(0), F(1), F(int(trace[-1, 1]))]
+    base_layers = None
+    for L in (0, 2):
+        proof = prove(mk(L), FibonacciAir(), BfChallenger(), trace, pis)
+        verify(mk(L), FibonacciAir(), BfChallenger(), proof, pis)
+        layers = len(proof.opening_proof.commit_phase_commits)
+        if L == 0:
+            base_layers = layers
+            assert isinstance(proof.opening_proof.final_poly, EF4)
+        else:
+            assert layers == base_layers - L
+            fp = proof.opening_proof.final_poly
+            assert isinstance(fp, list) and len(fp) == 1 << L
+            # serde v2 roundtrip re-verifies
+            p2 = proof_from_bytes(proof_to_bytes(proof))
+            verify(mk(L), FibonacciAir(), BfChallenger(), p2, pis)
+            # tampered final coefficient rejected
+            bad = list(fp)
+            limbs = list(bad[1].c)
+            limbs[0] = (limbs[0] + 1) % 2013265921
+            bad[1] = EF4(limbs)
+            proof.opening_proof.final_poly = bad
+            with pytest.raises(VerificationError):
+                verify(mk(L), FibonacciAir(), BfChallenger(), proof, pis)

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def row(log_n: int, log_blowup: int, nq: int) -> dict:
+def row(log_n: int, log_blowup: int, nq: int, log_final: int = 0) -> dict:
     from tapstark.airs import FibonacciAir, generate_fibonacci_trace
     from tapstark.challenger import BfChallenger
     from tapstark.commit import BcManager, TapTreeMmcs
@@ -35,6 +35,7 @@ def row(log_n: int, log_blowup: int, nq: int) -> dict:
         num_queries=nq,
         proof_of_work_bits=8,
         mmcs=TapTreeMmcs(BcManager(), nq, ext=True),
+        log_final_poly_len=log_final,
     )
     pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri_cfg)
     trace = generate_fibonacci_trace(0, 1, 1 << log_n)
@@ -55,7 +56,8 @@ def row(log_n: int, log_blowup: int, nq: int) -> dict:
     avg_q = sum(fri_q) / len(fri_q)
     comparable = nq * avg_q + constraints + quotient
     return {
-        "config": f"2^{log_n} rows, blowup 2^{log_blowup}, {nq} q",
+        "config": f"2^{log_n} rows, blowup 2^{log_blowup}, {nq} q"
+        + (f", final-poly 2^{log_final}" if log_final else ""),
         "comparable_total_kb": round(comparable / 1024),
         "distinct_query_segments": len(fri_q),
         "fri_per_query_kb": round(sum(fri_q) / len(fri_q) / 1024),
@@ -138,8 +140,8 @@ def main() -> None:
             log_n, log_blowup, nq, cols = (int(x) for x in c.split(":")[1:])
             print(json.dumps(wide_row(log_n, log_blowup, nq, cols)), flush=True)
             continue
-        log_n, log_blowup, nq = (int(x) for x in c.split(":"))
-        print(json.dumps(row(log_n, log_blowup, nq)), flush=True)
+        parts = [int(x) for x in c.split(":")]
+        print(json.dumps(row(*parts)), flush=True)
 
 
 if __name__ == "__main__":
