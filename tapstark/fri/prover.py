@@ -47,6 +47,16 @@ def bf_prove(
     with span("fri/commit-phase"):
         commits, data, final_poly = _commit_phase(config, inputs, challenger)
 
+    # Early stop (L > 0): the final coefficients are NOT determined by the
+    # committed layers (they are the iNTT of the last FOLDED layer, which is
+    # never committed), so they must be transcript-bound before the grind and
+    # query sampling — otherwise a prover could pick them after seeing the
+    # query positions. L = 0 keeps the reference transcript exactly: the
+    # constant is pinned by every query's last committed fold.
+    if config.log_final_poly_len > 0:
+        for c in final_poly:
+            challenger.observe_u32s(c.as_u32_vec())
+
     with span("fri/grind"):
         pow_witness = challenger.grind(config.proof_of_work_bits)
 

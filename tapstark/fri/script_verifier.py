@@ -198,6 +198,15 @@ def _bf_verify_query(
             x = x.square()
             x_hint = x_hint * x_hint
 
+    # Absorb inputs entering exactly at the stop height (zero-fold-layer
+    # case included) — mirrors the native verifier's post-loop absorption.
+    log_stop = config.log_blowup + config.log_final_poly_len
+    if ro_next is not None and ro_next[0] == log_stop:
+        folded_eval = folded_eval + ro_next[1]
+        folded_native = folded_native + ro_next[2]
+        ro_next = next(ro_iter, None)
+    assert ro_next is None, "input below the FRI stop height"
+
     assert query_index < config.blowup() * config.final_poly_len()
     if config.log_final_poly_len > 0:
         # x must sit at the stop height for the final Horner evaluation

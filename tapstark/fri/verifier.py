@@ -36,6 +36,17 @@ def verify_shape_and_sample_challenges(
         challenger.observe_commitment(comm)
         betas.append(challenger.sample())
 
+    if config.log_final_poly_len > 0:
+        # bind the early-stop final coefficients before query sampling
+        # (mirrors bf_prove; see the soundness note there)
+        if (
+            not isinstance(proof.final_poly, list)
+            or len(proof.final_poly) != config.final_poly_len()
+        ):
+            raise FriError("InvalidProofShape")
+        for c in proof.final_poly:
+            challenger.observe_u32s(c.as_u32_vec())
+
     if len(proof.query_proofs) != config.num_queries:
         raise FriError("InvalidProofShape")
 
@@ -148,6 +159,16 @@ def _verify_query(
             opened_values[0][0],
             opened_values[0][1],
         )
+
+    # Inputs entering exactly at the stop height (including the degenerate
+    # zero-fold-layer case, where the whole input IS the final polynomial)
+    # are never absorbed by the loop above — fold them in here.
+    log_stop = config.log_blowup + config.log_final_poly_len
+    if ro_next is not None and ro_next[0] == log_stop:
+        folded_eval = folded_eval + ro_next[1]
+        ro_next = next(ro_iter, None)
+    if ro_next is not None:
+        raise FriError(f"input at log height {ro_next[0]} below the FRI stop height")
 
     if query_index >= config.blowup() * config.final_poly_len():
         raise FriError(f"index out of range: {query_index}")

@@ -253,3 +253,44 @@ def test_early_stop_fri_end_to_end():
             proof.opening_proof.final_poly = bad
             with pytest.raises(VerificationError):
                 verify(mk(L), FibonacciAir(), BfChallenger(), proof, pis)
+
+
+def test_early_stop_fri_zero_fold_layers():
+    """Degenerate early stop: the stop height equals the input height, so
+    there are ZERO fold layers and the reduced opening must be absorbed
+    after the loop (it enters exactly at the stop height). The committed
+    final polynomial alone carries the low-degree claim."""
+    from tapstark.airs import FibonacciAir, generate_fibonacci_trace
+    from tapstark.stark import prove, verify
+    from tapstark.stark.script_verifier import generate_script_verifier
+    from tapstark.stark.verifier import VerificationError
+
+    def mk(L):
+        fri = FriConfig(
+            log_blowup=2,
+            num_queries=3,
+            proof_of_work_bits=2,
+            mmcs=TapTreeMmcs(BcManager(), 3, ext=True),
+            log_final_poly_len=L,
+        )
+        return TwoAdicFriPcs(TapTreeMmcs(BcManager(), 3, ext=False), fri)
+
+    trace = generate_fibonacci_trace(0, 1, 8)
+    pis = [F(0), F(1), F(int(trace[-1, 1]))]
+    proof = prove(mk(3), FibonacciAir(), BfChallenger(), trace, pis)
+    assert len(proof.opening_proof.commit_phase_commits) == 0
+    verify(mk(3), FibonacciAir(), BfChallenger(), proof, pis)
+    # the script verifier executes every segment (would fail before the
+    # post-loop reduced-opening absorption fix)
+    report = generate_script_verifier(
+        mk(3), FibonacciAir(), BfChallenger(), proof, pis
+    )
+    assert report.segment_script_bytes
+    # tampering a final coefficient is still caught with no fold layers
+    bad = list(proof.opening_proof.final_poly)
+    limbs = list(bad[0].c)
+    limbs[0] = (limbs[0] + 1) % 2013265921
+    bad[0] = EF4(limbs)
+    proof.opening_proof.final_poly = bad
+    with pytest.raises(VerificationError):
+        verify(mk(3), FibonacciAir(), BfChallenger(), proof, pis)
