@@ -240,16 +240,18 @@ def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
 
     r, w = rem_words.shape
     n = suffix_words.shape[0]
-    words = (suffix_words[None, :, :] | rem_words[:, None, :]).reshape(
-        r, n, w // 16, 16
-    )
-    blocks = jnp.moveaxis(words, 2, 0)  # (nb, R, N, 16)
+    # OR the per-rep rem words into each block INSIDE the scan: materializing
+    # the full (R, N, nb, 16) block tensor first costs R*N*w*4 bytes of HBM
+    # (8 GB at the 2^20-row north star with a 16-rep group)
+    suf_blocks = jnp.moveaxis(suffix_words.reshape(n, w // 16, 16), 1, 0)
+    rem_blocks = jnp.moveaxis(rem_words.reshape(r, w // 16, 16), 1, 0)
     state0 = jnp.broadcast_to(midstates[:, None, :], (r, n, 8))
 
-    def body(state, blk):
-        return compress_batch(state, blk), None
+    def body(state, xs):
+        blk_suf, blk_rem = xs  # (N, 16), (R, 16)
+        return compress_batch(state, blk_suf[None, :, :] | blk_rem[:, None, :]), None
 
-    level, _ = lax.scan(body, state0, blocks)  # (R, N, 8)
+    level, _ = lax.scan(body, state0, (suf_blocks, rem_blocks))  # (R, N, 8)
     depth = max((n - 1).bit_length(), 0)
     upper = []
     for l in range(depth):

@@ -347,12 +347,21 @@ class CommitedData:
 def _leaf_witness(use_bcs: UseBComm, index: int, values: list[list[int]]) -> list[bytes]:
     """Witness: evaluation signatures in reverse bc order, then the index
     signature on top (mod.rs:173-182)."""
-    out: list[bytes] = []
+    from .winternitz import N0, sign_many, to_digits
+
+    wins, msgs = [], []
     for bc, limbs in zip(reversed(use_bcs.evaluations_bc), reversed(values)):
         bc.set_values(list(limbs))
-        out.extend(bc.witness())
+        for c in bc.commitments:
+            wins.append(c.winternitz)
+            msgs.append(to_digits(c.value, N0))
     use_bcs.index_bc.set_values([index])
-    out.extend(use_bcs.index_bc.witness())
+    for c in use_bcs.index_bc.commitments:
+        wins.append(c.winternitz)
+        msgs.append(to_digits(c.value, N0))
+    out: list[bytes] = []
+    for items in sign_many(wins, msgs):
+        out.extend(items)
     return out
 
 
@@ -477,8 +486,11 @@ class TCS:
         n = values_np.shape[0]
         depth = max((n - 1).bit_length(), 0)
         cutoff = min(LEVEL_CUTOFF, depth)
-        # rep-group size: keep R_g * N lanes under ~2^26 (≈2 GB of states)
-        group = max(1, min(reps, (1 << 26) // max(n, 1)))
+        # rep-group size: the tapleaf scan carries ~(16 block + 16 window +
+        # 8 state) words per (rep, leaf) lane plus fused temporaries — keep
+        # R_g * N lanes under 2^24 (~4-6 GB peak) so the 2^22-leaf north
+        # star fits the 16 GB HBM
+        group = max(1, min(reps, (1 << 24) // max(n, 1)))
         trees_by_rep = [[None] * len(bounds) for _ in range(reps)]
         with span("tcs/tree-builds"):
             for s, (lo, hi) in enumerate(bounds):

@@ -120,6 +120,12 @@ class Winternitz:
             out.append(bytes([d]) if d else b"")
         return out
 
+    def sign_digit_plan(self, message_digits: list[int]) -> list[int]:
+        """Chain-walk steps per digit index (the value digit i's chain signs:
+        all_digits[N-1-i]) — the batched-native twin of sign()."""
+        all_digits = to_digits(checksum(message_digits), N1) + list(message_digits)
+        return all_digits[::-1]
+
     def checksig_verify(self) -> ScriptBuilder:
         """Verify N digit signatures (witness on stack), recompute+check the
         checksum, and leave the 4 message bytes on the stack (LSB on top).
@@ -134,6 +140,32 @@ class Winternitz:
             parts.append(bytes([len(pk)]) + pk)
             parts.append(segs[i + 1])
         return ScriptBuilder(b"".join(parts))
+
+
+def sign_many(wins: list["Winternitz"], messages: list[list[int]]) -> list[list[bytes]]:
+    """Witness item lists for many keypairs — identical items to
+    [w.sign(m) for w, m in zip(wins, messages)] but all hash160 chains run
+    in ONE native 8-lane batch (the open path signs every committed u32 of
+    every opened leaf; per-digit Python chains were the bottleneck)."""
+    from .. import native
+
+    if native.get_lib() is None or len(wins) * N < 16:
+        return [w.sign(list(m)) for w, m in zip(wins, messages)]
+    import numpy as np
+
+    dv = np.empty((len(wins), N), np.uint8)
+    for r, (w, m) in enumerate(zip(wins, messages)):
+        dv[r] = w.sign_digit_plan(list(m))
+    sigs = native.winternitz_sign_batch([w.secret_key for w in wins], dv)
+    out: list[list[bytes]] = []
+    for r in range(len(wins)):
+        items: list[bytes] = []
+        for i in range(N):
+            d = int(dv[r, i])
+            items.append(sigs[r, i].tobytes())
+            items.append(bytes([d]) if d else b"")
+        out.append(items)
+    return out
 
 
 def u32_compress() -> ScriptBuilder:

@@ -57,43 +57,41 @@ def compress_batch(state, block):
     """One SHA-256 compression per lane: state (..., 8) uint32, block
     (..., 16) uint32 big-endian words -> new state (..., 8).
 
-    Both the message schedule and the 64 rounds run as lax.scan: the fully
-    unrolled form (64 live schedule words feeding 64 sequential rounds)
-    sends XLA:CPU's scheduler into a multi-minute compile, while the scanned
-    body compiles instantly and the per-iteration loop overhead amortizes
-    over the (large) lane batch."""
+    One 64-iteration lax.scan fuses the message schedule into the rounds:
+    the carry holds a 16-word rolling window (window[j] = w[i+j]) instead of
+    materializing all 64 schedule words — a fully unrolled form sends
+    XLA:CPU's scheduler into multi-minute compiles, and a separate schedule
+    scan materializes a (64, lanes) tensor that OOMs HBM at taptree scale
+    (64 words x reps x 2^22 leaves = 16 GB at the 2^20-row north star)."""
     from jax import lax
 
-    def sched_body(w, _):
-        s0 = (
-            _rotr(w[..., 1], 7)
-            ^ _rotr(w[..., 1], 18)
-            ^ (w[..., 1] >> jnp.uint32(3))
-        )
-        s1 = (
-            _rotr(w[..., 14], 17)
-            ^ _rotr(w[..., 14], 19)
-            ^ (w[..., 14] >> jnp.uint32(10))
-        )
-        new = w[..., 0] + s0 + w[..., 9] + s1
-        return jnp.concatenate([w[..., 1:], new[..., None]], axis=-1), new
-
-    _, w_ext = lax.scan(sched_body, block, None, length=48)  # (48, ...)
-    w_all = jnp.concatenate([jnp.moveaxis(block, -1, 0), w_ext], axis=0)
-
-    def round_body(c, xs):
-        a, b, cc, d, e, f, g, h = c
-        wi, ki = xs
+    def round_body(c, ki):
+        (a, b, cc, d, e, f, g, h), w = c
+        wi = w[..., 0]
         s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
         t1 = h + s1 + ch + ki + wi
         s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & cc) ^ (b & cc)
         t2 = s0 + maj
-        return (t1 + t2, a, b, cc, d + t1, e, f, g), None
+        # extend the schedule window: w[i+16] = w[i] + s0(w[i+1]) + w[i+9]
+        # + s1(w[i+14]) (the last 16 extensions are unused, negligible)
+        e0 = (
+            _rotr(w[..., 1], 7)
+            ^ _rotr(w[..., 1], 18)
+            ^ (w[..., 1] >> jnp.uint32(3))
+        )
+        e1 = (
+            _rotr(w[..., 14], 17)
+            ^ _rotr(w[..., 14], 19)
+            ^ (w[..., 14] >> jnp.uint32(10))
+        )
+        new = wi + e0 + w[..., 9] + e1
+        w = jnp.concatenate([w[..., 1:], new[..., None]], axis=-1)
+        return ((t1 + t2, a, b, cc, d + t1, e, f, g), w), None
 
-    init = tuple(state[..., i] for i in range(8))
-    out, _ = lax.scan(round_body, init, (w_all, jnp.asarray(_K)))
+    init = (tuple(state[..., i] for i in range(8)), block)
+    (out, _), _ = lax.scan(round_body, init, jnp.asarray(_K))
     return jnp.stack(out, axis=-1) + state
 
 

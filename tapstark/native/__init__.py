@@ -44,6 +44,14 @@ def _build_and_load():
         ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.winternitz_sign_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_size_t,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_void_p,
+    ]
     lib.sha256_batch.argtypes = [
         ctypes.c_char_p,
         ctypes.c_void_p,
@@ -109,6 +117,23 @@ def winternitz_pubkeys_batch(
     out = np.empty((len(secrets), num_digits, 20), dtype=np.uint8)
     lib.winternitz_pubkeys_batch(
         blob, len(secrets), slen, num_digits, chain_extra, out.ctypes.data
+    )
+    return out
+
+
+def winternitz_sign_batch(secrets: list[bytes], digit_vals: np.ndarray) -> np.ndarray:
+    """(n_msgs, num_digits, 20) uint8 digit signatures: chain (m, i) walked
+    digit_vals[m, i] steps past its start hash160(secret_m || i)."""
+    lib = get_lib()
+    assert lib is not None
+    slen = len(secrets[0])
+    assert all(len(s) == slen for s in secrets)
+    dv = np.ascontiguousarray(digit_vals, dtype=np.uint8)
+    n_msgs, num_digits = dv.shape
+    assert n_msgs == len(secrets)
+    out = np.empty((n_msgs, num_digits, 20), dtype=np.uint8)
+    lib.winternitz_sign_batch(
+        b"".join(secrets), n_msgs, slen, dv.tobytes(), num_digits, out.ctypes.data
     )
     return out
 

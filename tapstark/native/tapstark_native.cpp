@@ -558,6 +558,62 @@ void winternitz_pubkeys_batch(const uint8_t* secrets, size_t n,
   }
 }
 
+// Winternitz digit signatures: chain g covers message m = g / num_digits,
+// digit index i = g % num_digits, and walks digit_vals[g] steps past the
+// chain start: out[g] = hash160^digit_vals[g](hash160(secret_m || i)).
+// (The open path's witness generation; same 8-lane lockstep as keygen,
+// with per-lane snapshots at each lane's stop step.)
+void winternitz_sign_batch(const uint8_t* secrets, size_t n_msgs,
+                           size_t secret_len, const uint8_t* digit_vals,
+                           int num_digits, uint8_t* out) {
+  size_t total = n_msgs * size_t(num_digits);
+  size_t g = 0;
+#if defined(TAPSTARK_AVX2)
+  if (secret_len + 1 <= 55) {
+    uint8_t blk[8][64];
+    uint8_t h[8][20];
+    for (; g + 8 <= total; g += 8) {
+      int kmax = 0;
+      for (int l = 0; l < 8; l++) {
+        size_t chain = g + l;
+        memset(blk[l], 0, 64);
+        memcpy(blk[l], secrets + (chain / num_digits) * secret_len,
+               secret_len);
+        blk[l][secret_len] = uint8_t(chain % num_digits);
+        blk[l][secret_len + 1] = 0x80;
+        uint64_t bits = uint64_t(secret_len + 1) * 8;
+        blk[l][62] = uint8_t(bits >> 8);
+        blk[l][63] = uint8_t(bits);
+        if (digit_vals[g + l] > kmax) kmax = digit_vals[g + l];
+      }
+      hash160_x8_blocks(blk, h);
+      for (int l = 0; l < 8; l++)
+        if (digit_vals[g + l] == 0) memcpy(out + (g + l) * 20, h[l], 20);
+      for (int k = 1; k <= kmax; k++) {
+        for (int l = 0; l < 8; l++) {
+          memset(blk[l], 0, 64);
+          memcpy(blk[l], h[l], 20);
+          blk[l][20] = 0x80;
+          blk[l][63] = 160;
+        }
+        hash160_x8_blocks(blk, h);
+        for (int l = 0; l < 8; l++)
+          if (digit_vals[g + l] == k) memcpy(out + (g + l) * 20, h[l], 20);
+      }
+    }
+  }
+#endif
+  std::vector<uint8_t> buf(secret_len + 1);
+  for (; g < total; g++) {
+    memcpy(buf.data(), secrets + (g / num_digits) * secret_len, secret_len);
+    buf[secret_len] = uint8_t(g % num_digits);
+    uint8_t h[20];
+    hash160(buf.data(), secret_len + 1, h);
+    for (int k = 0; k < digit_vals[g]; k++) hash160(h, 20, h);
+    memcpy(out + g * 20, h, 20);
+  }
+}
+
 void sha256_batch(const uint8_t* data, const uint64_t* offsets, size_t n,
                   uint8_t* out) {
   for (size_t i = 0; i < n; i++)

@@ -187,3 +187,16 @@ def test_device_commit_matches_host_roots():
             os.environ.pop("TAPSTARK_DEVICE_COMMIT", None)
         else:
             os.environ["TAPSTARK_DEVICE_COMMIT"] = old
+
+
+def test_sign_many_matches_scalar_sign():
+    """Native 8-lane batched digit signing produces exactly the witness items
+    of the scalar Python sign() (winternitz.rs:139-153 semantics)."""
+    from tapstark.commit.winternitz import N0, Winternitz, sign_many, to_digits
+
+    rng = np.random.default_rng(7)
+    wins = [Winternitz(bytes(rng.integers(0, 256, 20, dtype=np.uint8))) for _ in range(11)]
+    msgs = [to_digits(int(v), N0) for v in rng.integers(0, 1 << 32, 11, dtype=np.uint64)]
+    batched = sign_many(wins, msgs)
+    scalar = [w.sign(m) for w, m in zip(wins, msgs)]
+    assert batched == scalar
