@@ -123,9 +123,28 @@ class BfChallenger:
             self.observe(w)
 
     def observe_commitment(self, roots: list[list[int]]) -> None:
-        """Observe a TapTreeMmcs commitment: Vec<[U32; 8]> word by word."""
-        for root in roots:
-            self.observe_u32s(root)
+        """Observe a TapTreeMmcs commitment (the per-repetition taptree
+        roots, Vec<[U32; 8]>) as ONE 8-word binding digest: blake3 over the
+        roots' LE-word byte serialization.
+
+        The reference absorbs every repetition root word-by-word
+        (basic/src/challenger/mod.rs observe of the commitment Vec), which
+        at 28 query repetitions costs 224 absorbed words (~14 in-script
+        compressions) PER commit round and dominated the challenger
+        segment's script size. The digest binds the same data collision-
+        resistantly for half a compression per round. Deployment model is
+        unchanged: the roots — and therefore their digest — are
+        covenant-fixed constants of the BitVM2 script set (deliberate
+        protocol redesign v3; golden vectors re-frozen, tests/test_golden)."""
+        from ..hashes.blake3 import blake3
+
+        data = b"".join(
+            int(w).to_bytes(4, "little") for root in roots for w in root
+        )
+        digest = blake3(data)
+        self.observe_u32s(
+            int.from_bytes(digest[4 * i : 4 * i + 4], "little") for i in range(8)
+        )
 
     def _pop(self) -> int:
         if self.input_buffer or not self.output_buffer:

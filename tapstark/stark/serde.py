@@ -87,7 +87,12 @@ def _w_bc(b, bc: BitCommitment):
     _w_u32(b, len(bc.commitments))
     for c in bc.commitments:
         _w_bytes(b, c.winternitz.secret_key)
-        _w_u32(b, c.value)
+        # .value is transient working state (set_values runs before every
+        # leaf-script build; UseBComm objects are shared across the queries
+        # of one tree, so the live value is call-history-dependent) —
+        # serialize a canonical 0 so proof bytes are a pure function of the
+        # proof's content
+        _w_u32(b, 0)
 
 
 def _r_bc(b) -> BitCommitment:

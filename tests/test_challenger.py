@@ -110,10 +110,19 @@ def test_grind_and_check_witness():
     assert ch.grind_bits == bits
 
 
-def test_commitment_observe_order():
+def test_commitment_observe_digest():
+    """observe_commitment (v3) absorbs the 8 LE words of blake3 over the
+    rep roots' LE-word serialization — one half-block regardless of the
+    repetition count — instead of 8 words per repetition."""
+    from tapstark.hashes.blake3 import blake3
+
     roots = [[i * 8 + j for j in range(8)] for i in range(4)]
     ch = BfChallenger(field="ext")
     ch.observe_commitment(roots)
-    out = _step_model(list(IV), list(range(16)))
-    out = _step_model(out, list(range(16, 32)))
-    assert ch.cv == out
+    data = b"".join(w.to_bytes(4, "little") for root in roots for w in root)
+    digest_words = [
+        int.from_bytes(blake3(data)[4 * i : 4 * i + 4], "little") for i in range(8)
+    ]
+    assert ch.input_buffer == digest_words  # half a block pending, no compress yet
+    ch.observe_commitment(roots)  # second commitment fills the block
+    assert ch.cv == _step_model(list(IV), digest_words + digest_words)

@@ -14,12 +14,14 @@ Two regression anchors that fail on ANY transcript or serialization drift:
    script bytes, taptree hashing), transcript, grind witness, FRI shape,
    and serde format.
 
-The constants below were re-frozen on 2026-08-17 after two deliberate,
+The constants below were re-frozen on 2026-08-18 after three deliberate,
 documented protocol redesigns (constant-head leaf scripts; challenger v2
-compression duplex) from the from-spec blake3 (validated against the
-official blake3 test vectors in test_hashes.py) and the deterministic
-prover. They are LOAD-BEARING: do not regenerate them to make a failing
-test pass — a mismatch means semantics drifted.
+compression duplex; v3 commitment-digest absorption — observe_commitment
+absorbs blake3(rep roots) as 8 words instead of 8 words per repetition,
+see tapstark/challenger observe_commitment) from the from-spec blake3
+(validated against the official blake3 test vectors in test_hashes.py) and
+the deterministic prover. They are LOAD-BEARING: do not regenerate them to
+make a failing test pass — a mismatch means semantics drifted.
 """
 
 import hashlib
@@ -35,9 +37,9 @@ FROZEN_SAMPLE_BITS_16 = 57264
 
 # -- anchor 2: proof bytes freeze ------------------------------------------
 
-GOLDEN_PROOF_SHA256 = "785314e2282cb62fe0676e3f389aa90b630dd8eb1613ade6a7bb47100752438e"
+GOLDEN_PROOF_SHA256 = "4e3ab2a96bd8e55d7fafbf1f22c047b99c3a0d80b34a7ca62791b3e31a79f809"
 GOLDEN_PROOF_LEN = 870361
-GOLDEN_POW_WITNESS = 113
+GOLDEN_POW_WITNESS = 89
 
 
 def test_frozen_challenge_values():
