@@ -205,6 +205,37 @@ def build_tail_suffix_words(values_shard, plan: ShardSuffixPlan, base_index: int
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+@functools.partial(jax.jit, static_argnames=("exts",))
+def _padding_dev_jit(devs, *, exts):
+    from ..field.device import from_mont
+
+    max_h = devs[0].shape[0]
+    cols = []
+    for d, ext in zip(devs, exts):
+        v = from_mont(d)
+        if not ext:
+            v = v[..., None]
+        rep = max_h // v.shape[0]
+        if rep > 1:
+            v = jnp.repeat(v, rep, axis=0)
+        cols.append(v)
+    return jnp.concatenate(cols, axis=1)
+
+
+def padding_matrix_dev(matrices):
+    """Device twin of tcs.padding_matrix_np consuming FMatrix.dev handles
+    (Montgomery device arrays) -> (N, K, L) canonical uint32 ON DEVICE, or
+    None when any matrix lacks a handle. Keeping the leaf values in HBM
+    matters because the axon relay uploads host->device at ~3 MB/s: the
+    50 MB north-star shard re-upload cost more than all tree hashing."""
+    if any(getattr(m, "dev", None) is None for m in matrices):
+        return None
+    largest_first = sorted(matrices, key=lambda m: -m.height)
+    devs = tuple(jnp.asarray(m.dev) for m in largest_first)
+    exts = tuple(bool(m.ext) for m in largest_first)
+    return _padding_dev_jit(devs, exts=exts)
+
+
 def _leaf_hash_jit(suffix_words, midstate, rem_words):
     """(N, suf_words) suffix + per-rep head midstate/rem -> (N, 8) tapleaf
     digests. lax.scan over the block axis keeps the compiled program at ONE

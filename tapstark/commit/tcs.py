@@ -48,23 +48,73 @@ from .bitcomm import (
 from .taptree import CompleteTaptree, LeafNode, build_taptree, verify_inclusion
 
 
-@dataclass
 class FMatrix:
-    """Canonical-u32 matrix: (h, w) base or (h, w, 4) extension."""
+    """Canonical-u32 matrix: (h, w) base or (h, w, 4) extension.
 
-    values: np.ndarray
+    `dev` optionally carries the same matrix as a DEVICE array in Montgomery
+    form (the LDE / folded layer the prover already holds in HBM). The
+    device commit path consumes it directly: the axon relay moves bulk data
+    at only ~3-7 MB/s in EITHER direction, so both re-uploading leaf values
+    and eagerly downloading canonical copies cost more than all the tree
+    hashing combined. `FMatrix.lazy(dev)` starts the canonical download on
+    a background thread instead — by the time the open phase touches
+    `.values` (row openings, leaf-block rebuilds) the transfer has
+    overlapped with the commit/fold device work."""
+
+    def __init__(self, values: np.ndarray | None = None, dev=None, prefetch: bool = False):
+        self._values = values
+        self.dev = dev
+        self._thread = None
+        if values is None:
+            assert dev is not None
+            if prefetch:
+                import threading
+
+                box = {}
+
+                def _run():
+                    from ..field.device import fetch_canonical
+
+                    box["v"] = fetch_canonical(self.dev)
+
+                self._box = box
+                self._thread = threading.Thread(target=_run, daemon=True)
+                self._thread.start()
+
+    @classmethod
+    def lazy(cls, dev) -> "FMatrix":
+        """Device-backed matrix whose canonical host copy downloads in the
+        background (overlapped with subsequent device dispatches)."""
+        return cls(None, dev=dev, prefetch=True)
+
+    @property
+    def values(self) -> np.ndarray:
+        if self._values is None:
+            if self._thread is not None:
+                self._thread.join()
+                self._values = self._box["v"]
+                self._thread = None
+            else:
+                from ..field.device import fetch_canonical
+
+                self._values = fetch_canonical(self.dev)
+        return self._values
+
+    @property
+    def _shape(self):
+        return self._values.shape if self._values is not None else self.dev.shape
 
     @property
     def ext(self) -> bool:
-        return self.values.ndim == 3
+        return len(self._shape) == 3
 
     @property
     def height(self) -> int:
-        return int(self.values.shape[0])
+        return int(self._shape[0])
 
     @property
     def width(self) -> int:
-        return int(self.values.shape[1])
+        return int(self._shape[1])
 
     def row_limbs(self, r: int) -> list[list[int]]:
         """Row as a list of per-value limb lists."""
@@ -299,13 +349,50 @@ class SparseNativeTaptree:
         )
 
 
+class LazyPadding:
+    """Lazy host padding matrix: defers padding_matrix_np — and with it the
+    join of the matrices' background canonical fetches (FMatrix.lazy) —
+    until the open phase first touches leaf values."""
+
+    def __init__(self, matrices: list):
+        self._matrices = matrices
+        self._arr: np.ndarray | None = None
+
+    def full(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = padding_matrix_np(self._matrices)
+        return self._arr
+
+    def __getitem__(self, k):
+        return self.full()[k]
+
+    def shard(self, lo: int, hi: int) -> "_LazyShard":
+        return _LazyShard(self, lo, hi)
+
+
+class _LazyShard:
+    """Column-shard view of a LazyPadding (materialized contiguously once)."""
+
+    def __init__(self, padding: LazyPadding, lo: int, hi: int):
+        self._padding = padding
+        self._lo, self._hi = lo, hi
+        self._arr: np.ndarray | None = None
+
+    def __getitem__(self, k):
+        if self._arr is None:
+            self._arr = np.ascontiguousarray(
+                self._padding.full()[:, self._lo : self._hi]
+            )
+        return self._arr[k]
+
+
 @dataclass
 class CommitedData:
     leaves: list[FMatrix]
     trees: list  # one CompleteTaptree | NativeTaptree per column shard
     use_bcs_list: list[UseBComm]  # one per shard
     bounds: list[tuple[int, int]]  # column range per shard
-    values_np: np.ndarray  # (num_leaves, num_values, num_limbs)
+    values_np: "np.ndarray | LazyPadding"  # (num_leaves, num_values, num_limbs)
 
     @property
     def commit_taptree(self):
@@ -444,23 +531,39 @@ class TCS:
         shard and each repetition re-hashes from its own head midstate."""
         from ..utils.profiling import span
 
-        with span("tcs/padding-matrix"):
-            values_np = padding_matrix_np(matrices)
         ext = matrices[0].ext
-        bounds = shard_bounds(values_np.shape[1])
+        max_h = max(m.height for m in matrices)
+        bounds = shard_bounds(sum(m.width for m in matrices))
+        from .. import native
+
+        dev_on, dev_forced = _device_commit_enabled()
+        use_dev = (
+            native.get_lib() is not None
+            and dev_on
+            and (dev_forced or max_h >= _DEVICE_COMMIT_MIN_LEAVES)
+        )
+        vals_dev = None
+        if use_dev:
+            from . import device_commit as dc
+
+            vals_dev = dc.padding_matrix_dev(matrices)
+        if vals_dev is None:
+            # host leaf values needed up front (host tree builds, or device
+            # path fed from host arrays)
+            with span("tcs/padding-matrix"):
+                values_np = padding_matrix_np(matrices)
+        else:
+            # leaf values stay in HBM; the host copy materializes lazily at
+            # open time (overlapped background fetches, see FMatrix.lazy)
+            values_np = None
         with span("tcs/assign-keygen"):
             assignments = [
                 self._assign_rep(bounds, ext) for _ in range(total_query_times)
             ]
-        from .. import native
-
-        dev_on, dev_forced = _device_commit_enabled()
-        if (
-            native.get_lib() is not None
-            and dev_on
-            and (dev_forced or values_np.shape[0] >= _DEVICE_COMMIT_MIN_LEAVES)
-        ):
-            return self._commit_device(matrices, values_np, assignments, bounds)
+        if use_dev:
+            return self._commit_device(
+                matrices, values_np, assignments, bounds, vals_dev
+            )
         if native.get_lib() is not None and total_query_times > 1:
             with span("tcs/tree-builds"):
                 return list(
@@ -472,18 +575,20 @@ class TCS:
         with span("tcs/tree-builds"):
             return [self._build(matrices, values_np, a, bounds) for a in assignments]
 
-    def _commit_device(self, matrices, values_np, assignments, bounds):
+    def _commit_device(self, matrices, values_np, assignments, bounds, vals_dev=None):
         """Device tree builds (TPU): shared per-shard suffix construction,
         then ALL repetitions' tapleaf + TapBranch hashing in one jitted
         program per rep-group (per-rep dispatch loops drown in the remote
         relay's per-call latency). Roots/upper-levels are byte-identical to
         the host engine's; the open path (SparseNativeTaptree leaf-block
-        rebuild) is unchanged."""
+        rebuild) is unchanged. With `vals_dev` (device padding matrix) the
+        suffix bytes build from HBM-resident values and the host copy is
+        deferred to open time."""
         from ..utils.profiling import span
         from . import device_commit as dc
 
         reps = len(assignments)
-        n = values_np.shape[0]
+        n = max(m.height for m in matrices)
         depth = max((n - 1).bit_length(), 0)
         cutoff = min(LEVEL_CUTOFF, depth)
         # rep-group size: the tapleaf scan carries ~(16 block + 16 window +
@@ -492,13 +597,19 @@ class TCS:
         # star fits the 16 GB HBM
         group = max(1, min(reps, (1 << 24) // max(n, 1)))
         trees_by_rep = [[None] * len(bounds) for _ in range(reps)]
+        lazy = LazyPadding(matrices) if values_np is None else None
         with span("tcs/tree-builds"):
             for s, (lo, hi) in enumerate(bounds):
-                vs = np.ascontiguousarray(values_np[:, lo:hi])
+                if values_np is None:
+                    suffix_src = vals_dev[:, lo:hi]
+                    vs = lazy.shard(lo, hi)
+                else:
+                    vs = np.ascontiguousarray(values_np[:, lo:hi])
+                    suffix_src = vs if vals_dev is None else vals_dev[:, lo:hi]
                 heads = [assignments[r][s][1] for r in range(reps)]
                 fixed0 = assignments[0][s][2]
                 plan = dc.ShardSuffixPlan(len(heads[0]), fixed0)
-                suffix = dc.build_tail_suffix_words(vs, plan)
+                suffix = dc.build_tail_suffix_words(suffix_src, plan)
                 mids, remws = plan.head_midstates_batch(heads)
                 for g0 in range(0, reps, group):
                     g1 = min(g0 + group, reps)
@@ -522,7 +633,7 @@ class TCS:
                 trees=trees_by_rep[r],
                 use_bcs_list=[assignments[r][s][0] for s in range(len(bounds))],
                 bounds=bounds,
-                values_np=values_np,
+                values_np=values_np if lazy is None else lazy,
             )
             for r in range(reps)
         ]

@@ -144,7 +144,9 @@ class TwoAdicFriPcs:
             lde = bit_reverse_rows(lde)
             domains.append(domain)
             ldes.append(lde)
-            mats_host.append(FMatrix(fetch_canonical(lde)))
+            # canonical host copy downloads on a background thread; the
+            # device commit path never blocks on it (relay ~3-7 MB/s)
+            mats_host.append(FMatrix.lazy(lde))
         commitment, commited = self.mmcs.commit(mats_host)
         return commitment, PcsProverData(domains=domains, ldes=ldes, commited=commited)
 

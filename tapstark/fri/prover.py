@@ -94,7 +94,8 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
         half = folded.shape[0] // 2
         mat_dev = folded.reshape(half, 2, 4)
         with span("fri/layer-fetch"):
-            mat_host = FMatrix(fetch_canonical(mat_dev))
+            # background canonical download; query-phase row reads join it
+            mat_host = FMatrix.lazy(mat_dev)
         with span("fri/layer-commit"):
             commit, prover_data = config.mmcs.commit_matrix(mat_host)
         challenger.observe_commitment(commit)

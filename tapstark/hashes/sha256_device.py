@@ -53,17 +53,89 @@ def _rotr(x, n):
     return (x >> jnp.uint32(n)) | (x << jnp.uint32(32 - n))
 
 
+_PALLAS_LANE_BLK = 256
+# Below this many lanes the (relay) dispatch overhead beats the kernel win.
+_PALLAS_MIN_LANES = 1024
+
+
+def _sha_round_ops(a, b, c, d, e, f, g, h, wi, ki):
+    s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+    ch = (e & f) ^ (~e & g)
+    t1 = h + s1 + ch + ki + wi
+    s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+    maj = (a & b) ^ (a & c) ^ (b & c)
+    return t1 + s0 + maj, a, b, c, d + t1, e, f, g
+
+
+def _sha_pallas_kernel(s_ref, b_ref, o_ref):
+    """64 fully unrolled rounds per lane block: states/schedule live in
+    vector registers (the lax.scan form round-trips its (lanes, 24)-word
+    carry through HBM on every one of the 64 iterations — 100x the
+    compulsory traffic, and the reason the first device taptree commit ran
+    SLOWER than the host SHA-NI engine at 2^22 leaves)."""
+    w = [b_ref[i] for i in range(16)]
+    st = tuple(s_ref[i] for i in range(8))
+    for i in range(64):
+        if i >= 16:
+            w1 = w[i - 15]
+            w14 = w[i - 2]
+            s0 = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> jnp.uint32(3))
+            s1 = _rotr(w14, 17) ^ _rotr(w14, 19) ^ (w14 >> jnp.uint32(10))
+            w.append(w[i - 16] + s0 + w[i - 7] + s1)
+        st = _sha_round_ops(*st, w[i], jnp.uint32(int(_K[i])))
+    for i in range(8):
+        o_ref[i] = st[i] + s_ref[i]
+
+
+def _compress_batch_pallas(state, block):
+    """Pallas path: lanes on the last (lane) axis, words on sublanes."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = block.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    st = jnp.broadcast_to(state, lead + (8,)).reshape(m, 8).T  # (8, M)
+    bl = block.reshape(m, 16).T  # (16, M)
+    pad = (-m) % _PALLAS_LANE_BLK
+    if pad:
+        st = jnp.pad(st, ((0, 0), (0, pad)))
+        bl = jnp.pad(bl, ((0, 0), (0, pad)))
+    mp = st.shape[1]
+    out = pl.pallas_call(
+        _sha_pallas_kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=(mp // _PALLAS_LANE_BLK,),
+        in_specs=[
+            pl.BlockSpec((8, _PALLAS_LANE_BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, _PALLAS_LANE_BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, _PALLAS_LANE_BLK), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, mp), jnp.uint32),
+    )(st, bl)
+    return out[:, :m].T.reshape(lead + (8,))
+
+
 def compress_batch(state, block):
     """One SHA-256 compression per lane: state (..., 8) uint32, block
     (..., 16) uint32 big-endian words -> new state (..., 8).
 
-    One 64-iteration lax.scan fuses the message schedule into the rounds:
-    the carry holds a 16-word rolling window (window[j] = w[i+j]) instead of
-    materializing all 64 schedule words — a fully unrolled form sends
-    XLA:CPU's scheduler into multi-minute compiles, and a separate schedule
-    scan materializes a (64, lanes) tensor that OOMs HBM at taptree scale
-    (64 words x reps x 2^22 leaves = 16 GB at the 2^20-row north star)."""
+    On TPU with enough lanes this runs the fully-unrolled Pallas kernel
+    (registers only). Elsewhere a 64-iteration lax.scan fuses the message
+    schedule into the rounds: the carry holds a 16-word rolling window
+    (window[j] = w[i+j]) instead of materializing all 64 schedule words — a
+    fully unrolled jnp form sends XLA:CPU's scheduler into multi-minute
+    compiles, and a separate schedule scan materializes a (64, lanes)
+    tensor that OOMs HBM at taptree scale (64 words x reps x 2^22 leaves =
+    16 GB at the 2^20-row north star)."""
+    import jax
     from jax import lax
+
+    lanes = int(np.prod(block.shape[:-1])) if block.ndim > 1 else 1
+    if jax.default_backend() == "tpu" and lanes >= _PALLAS_MIN_LANES:
+        return _compress_batch_pallas(state, block)
 
     def round_body(c, ki):
         (a, b, cc, d, e, f, g, h), w = c

@@ -94,3 +94,25 @@ def test_device_leaf_construction_and_trees_byte_exact():
         # (the root equality transitively checks them all)
         assert exp is not None
     assert [u.shape[0] for u in uppers] == [3] * len(uppers)
+
+
+def test_pallas_sha_kernel_matches_reference_compression():
+    """The TPU Pallas SHA-256 kernel (fully unrolled rounds in registers)
+    against the numpy reference compression. Skipped off-TPU: interpret
+    mode of the 64-round unrolled kernel sends XLA:CPU into multi-minute
+    compiles (the CPU path uses the lax.scan form, covered by the roots
+    byte-equality tests above)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("pallas SHA path is TPU-only (scan path covered on CPU)")
+    from tapstark.hashes.sha256_device import IV, _compress_batch_pallas, _compress_np
+
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 1 << 32, (2048, 16), dtype=np.uint64).astype(np.uint32)
+    state = jnp.broadcast_to(jnp.asarray(IV), (2048, 8))
+    out = np.asarray(_compress_batch_pallas(state, jnp.asarray(blocks)))
+    for i in (0, 1, 1023, 2047):
+        assert np.array_equal(out[i], _compress_np(IV.copy(), blocks[i]))
