@@ -609,13 +609,16 @@ class TCS:
                 heads = [assignments[r][s][1] for r in range(reps)]
                 fixed0 = assignments[0][s][2]
                 plan = dc.ShardSuffixPlan(len(heads[0]), fixed0)
-                suffix = dc.build_tail_suffix_words(suffix_src, plan)
-                mids, remws = plan.head_midstates_batch(heads)
+                with span("tcs/dev-suffix"):
+                    suffix = dc.build_tail_suffix_words(suffix_src, plan)
+                with span("tcs/dev-midstates"):
+                    mids, remws = plan.head_midstates_batch(heads)
                 for g0 in range(0, reps, group):
                     g1 = min(g0 + group, reps)
-                    roots, uppers = dc.shard_trees_rep_group(
-                        suffix, mids[g0:g1], remws[g0:g1], cutoff
-                    )
+                    with span("tcs/dev-trees"):
+                        roots, uppers = dc.shard_trees_rep_group(
+                            suffix, mids[g0:g1], remws[g0:g1], cutoff
+                        )
                     for j, r in enumerate(range(g0, g1)):
                         use_bcs, head, fixed_len = assignments[r][s]
                         assert len(head) == len(heads[0]) and fixed_len == fixed0

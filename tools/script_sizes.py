@@ -132,7 +132,11 @@ def wide_row(log_n: int, log_blowup: int, nq: int, cols: int) -> dict:
 def main() -> None:
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    # Script generation/execution is host work, but the prove that feeds it
+    # benefits from the device-commit path: TAPSTARK_BENCH_TPU=1 keeps the
+    # configured accelerator (same opt-in as bench_prover.py).
+    if os.environ.get("TAPSTARK_BENCH_TPU") != "1":
+        jax.config.update("jax_platforms", "cpu")
 
     configs = sys.argv[1:] or ["3:2:28", "3:2:16", "3:4:16", "4:2:16", "5:2:16"]
     for c in configs:
