@@ -151,15 +151,26 @@ class ShardSuffixPlan:
         msgs = [self.pre_script + h for h in heads]
         full = (len(msgs[0]) + 64) // 64 * 64 - 64
         assert all(len(m) == len(msgs[0]) for m in msgs)
-        blocks = np.stack(
-            [
-                np.frombuffer(m[:full], dtype=">u4").astype(np.uint32)
-                for m in msgs
-            ]
-        ).reshape(r, full // 64, 16)
-        states = _head_midstates_jit(
-            jnp.asarray(blocks), jnp.asarray(tag_midstate_words(b"TapLeaf"))
-        )
+        tag_state = tag_midstate_words(b"TapLeaf")
+        from .. import native
+
+        if native.get_lib() is not None and full:
+            # host SHA-NI: the heads are a few KB x R messages — microseconds
+            # on the host, where a (R, 8)-lane scan through ~full/64
+            # sequential device compressions costs seconds on a remote chip
+            states = native.sha256_midstates_native(
+                [m[:full] for m in msgs], tag_state
+            )
+        else:
+            blocks = np.stack(
+                [
+                    np.frombuffer(m[:full], dtype=">u4").astype(np.uint32)
+                    for m in msgs
+                ]
+            ).reshape(r, full // 64, 16)
+            states = np.asarray(
+                _head_midstates_jit(jnp.asarray(blocks), jnp.asarray(tag_state))
+            )
         rems = np.zeros((r, self.suf_words * 4), dtype=np.uint8)
         for i, m in enumerate(msgs):
             rem = m[full:]

@@ -58,6 +58,13 @@ def _build_and_load():
         ctypes.c_size_t,
         ctypes.c_void_p,
     ]
+    lib.sha256_midstates.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_size_t,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     lib.tcs_commit_sparse.argtypes = [
         ctypes.c_char_p,  # head (constant leaf prefix: all locks, parked)
         ctypes.c_uint64,  # head_len
@@ -117,6 +124,26 @@ def winternitz_pubkeys_batch(
     out = np.empty((len(secrets), num_digits, 20), dtype=np.uint8)
     lib.winternitz_pubkeys_batch(
         blob, len(secrets), slen, num_digits, chain_extra, out.ctypes.data
+    )
+    return out
+
+
+def sha256_midstates_native(
+    msgs: list[bytes], init_state: np.ndarray
+) -> np.ndarray:
+    """(n, 8) uint32 SHA-256 chaining states after compressing each
+    fixed-length message's full 64-byte blocks from `init_state` (8 words,
+    e.g. a BIP-341 tag midstate). Trailing partial-block bytes are the
+    caller's to absorb."""
+    lib = get_lib()
+    assert lib is not None
+    mlen = len(msgs[0])
+    assert all(len(m) == mlen for m in msgs)
+    st = np.ascontiguousarray(init_state, dtype=np.uint32)
+    assert st.shape == (8,)
+    out = np.empty((len(msgs), 8), dtype=np.uint32)
+    lib.sha256_midstates(
+        b"".join(msgs), len(msgs), mlen, st.ctypes.data, out.ctypes.data
     )
     return out
 

@@ -621,6 +621,24 @@ void sha256_batch(const uint8_t* data, const uint64_t* offsets, size_t n,
                      out + 32 * i);
 }
 
+// Midstates: from a caller-supplied 8-word chaining state (e.g. a BIP-341
+// tag midstate), compress msg_len/64 full blocks of each fixed-length
+// message; out = n_msgs x 8 state words. Feeds the device taptree commit's
+// per-repetition head midstates (a few hundred KB of SHA total — host
+// SHA-NI finishes in microseconds where a 28-lane device scan through a
+// remote relay costs seconds).
+void sha256_midstates(const uint8_t* msgs, size_t n_msgs, size_t msg_len,
+                      const uint32_t* init_state, uint32_t* out) {
+  size_t nb = msg_len / 64;
+  for (size_t i = 0; i < n_msgs; i++) {
+    uint32_t h[8];
+    memcpy(h, init_state, 32);
+    const uint8_t* p = msgs + i * msg_len;
+    for (size_t b = 0; b < nb; b++) sha256impl::sha_block(h, p + b * 64);
+    memcpy(out + i * 8, h, 32);
+  }
+}
+
 // Sparse TCS commit.
 //
 // Leaf i script (constant-head layout) = head || tail(i) || OP_NOP pad to
