@@ -584,6 +584,7 @@ class TCS:
         rebuild) is unchanged. With `vals_dev` (device padding matrix) the
         suffix bytes build from HBM-resident values and the host copy is
         deferred to open time."""
+        from ..utils.profiling import enabled as profiling_enabled
         from ..utils.profiling import span
         from . import device_commit as dc
 
@@ -611,6 +612,12 @@ class TCS:
                 plan = dc.ShardSuffixPlan(len(heads[0]), fixed0)
                 with span("tcs/dev-suffix"):
                     suffix = dc.build_tail_suffix_words(suffix_src, plan)
+                    if profiling_enabled():
+                        # JAX dispatch is async (and the axon relay's
+                        # block_until_ready doesn't sync): force a tiny
+                        # fetch so suffix-build time lands in this span
+                        # instead of being absorbed by tcs/dev-trees.
+                        np.asarray(suffix[0, 0])
                 with span("tcs/dev-midstates"):
                     mids, remws = plan.head_midstates_batch(heads)
                 for g0 in range(0, reps, group):

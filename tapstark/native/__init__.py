@@ -36,6 +36,15 @@ def _build_and_load():
         )
         os.replace(tmp, so_path)
     lib = ctypes.CDLL(so_path)
+    for fname in (
+        "winternitz_pubkeys_batch",
+        "winternitz_sign_batch",
+        "sha256_batch",
+        "sha256_midstates",
+        "tcs_commit_sparse",
+        "tcs_leaf_block",
+    ):
+        getattr(lib, fname).restype = None
     lib.winternitz_pubkeys_batch.argtypes = [
         ctypes.c_char_p,
         ctypes.c_size_t,
