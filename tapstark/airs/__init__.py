@@ -7,6 +7,7 @@ from .blake3_compression import (
 from .blake3g import Blake3GAir, generate_blake3g_trace
 from .fibonacci import FibonacciAir, generate_fibonacci_trace
 from .mul import MulAir, generate_mul_trace
+from .recursion import RecursionAir, generate_recursion_trace
 from .wide import WideAir, generate_wide_trace
 
 __all__ = [
@@ -22,4 +23,6 @@ __all__ = [
     "generate_blake3_sponge_trace",
     "WideAir",
     "generate_wide_trace",
+    "RecursionAir",
+    "generate_recursion_trace",
 ]
