@@ -41,6 +41,7 @@ from ..field.device import (
     np_from_mont,
     np_to_mont,
 )
+from ..field.constants import P as P_INT
 from ..field.scalar import EF4, F
 from ..poly.domain import TwoAdicMultiplicativeCoset
 from ..poly.interpolate import interpolate_coset
@@ -102,6 +103,53 @@ def _inv_denoms_jit(xs_dev, z_mont):
 def _dot_ys(ys, alpha_pows):
     """sum_i alpha^i * ys_i over (w, 4) ext arrays -> (4,)."""
     return fp_sum_axis0(ef_mul(ys, alpha_pows))
+
+
+@jax.jit
+def _open_height_kernel(natural, mat, weights, zs, scales, xs, invd):
+    """Fused open for ONE height: every (matrix, point) pair at this height
+    in a single jitted program (two_adic_pcs.rs:260-419 batches the same
+    way per height).
+
+    natural: (n, W) natural-order low rows (concat of this height's mats);
+    mat:     (h, W) bit-reversed LDE rows (same concat);
+    weights: (P, W, 4) Montgomery alpha powers, ZERO where a column is not
+             opened at that point (encodes both the per-entry alpha offset
+             and the opened-column mask);
+    zs/scales: (P, 4) per-point barycentric constants;
+    xs:      (n,) Montgomery coset points;
+    invd:    (P, h, 4) inverse denominators per point.
+    Returns (ys (P, W, 4) opened values, ro (h, 4) reduced opening).
+    """
+    from ..poly.interpolate import _interp_weights
+
+    n_pts = zs.shape[0]
+    h, w = mat.shape
+    col_chunk = 64
+    ys_out = []
+    ro = jnp.zeros((h, 4), jnp.uint32)
+    for p in range(n_pts):  # static unroll (<= a few points per height)
+        iw = _interp_weights(xs, zs[p])  # (n, 4)
+        cols = []
+        for c0 in range(0, w, col_chunk):
+            prod = ef_mul_base(iw[:, None, :], natural[:, c0 : c0 + col_chunk])
+            cols.append(fp_sum_axis0(prod))  # (wc, 4)
+        ys = jnp.concatenate(cols, axis=0)
+        ys = ef_mul(ys, jnp.broadcast_to(scales[p], ys.shape))  # (W, 4)
+        ys_out.append(ys)
+        # red_row = sum_c weights[p,c] * mat[:,c]  (chunked; XLA fuses the
+        # multiply into the reduction, nothing (h, W, 4)-sized materializes)
+        red_row = jnp.zeros((h, 4), jnp.uint32)
+        for c0 in range(0, w, col_chunk):
+            prod = ef_mul_base(
+                weights[p, None, c0 : c0 + col_chunk, :],
+                mat[:, c0 : c0 + col_chunk],
+            )  # (h, wc, 4)
+            red_row = ef_add(red_row, fp_sum_axis0(jnp.moveaxis(prod, 1, 0)))
+        ys_dot = fp_sum_axis0(ef_mul(ys, weights[p]))  # (4,)
+        diff = ef_sub(red_row, jnp.broadcast_to(ys_dot, red_row.shape))
+        ro = ef_add(ro, ef_mul(diff, invd[p]))
+    return jnp.stack(ys_out), ro
 
 
 class TwoAdicFriPcs:
@@ -170,61 +218,124 @@ class TwoAdicFriPcs:
 
         inv_denoms = self._compute_inverse_denominators(mats_and_points)
 
+        # -- group every (round, matrix, point) entry by height -------------
+        # Entries keep global iteration order so the per-height alpha-power
+        # offsets match the verifier/script replay exactly. Per height, all
+        # matrices are column-concatenated and every opening point runs in
+        # ONE fused jitted program (_open_height_kernel): O(heights) device
+        # dispatches total instead of O(matrices x points)
+        # (two_adic_pcs.rs:260-419).
+        entries = []  # (round_i, mat_i, point_i, mat, point)
+        for ri, (mats, points) in enumerate(mats_and_points):
+            for mi, (mat, points_for_mat) in enumerate(zip(mats, points)):
+                for pi, point in enumerate(points_for_mat):
+                    entries.append((ri, mi, pi, mat, point))
+
+        heights: dict[int, dict] = {}
+        for ri, mi, pi, mat, point in entries:
+            h = int(mat.shape[0])
+            lh = log2_strict(h)
+            g = heights.setdefault(
+                lh, {"mats": {}, "points": {}, "entries": [], "ncols": 0}
+            )
+            key = (ri, mi)
+            if key not in g["mats"]:
+                g["mats"][key] = (g["ncols"], mat)
+                g["ncols"] += int(mat.shape[1])
+            if point not in g["points"]:
+                g["points"][point] = len(g["points"])
+            g["entries"].append((ri, mi, pi, point))
+
+        # alpha powers, one shared host table long enough for any height
+        max_pows = max(
+            (
+                sum(int(e[3].shape[1]) for e in entries if log2_strict(int(e[3].shape[0])) == lh)
+                for lh in heights
+            ),
+            default=0,
+        )
+        alpha_pows_host = []
+        ap = EF4.one()
+        for _ in range(max_pows):
+            alpha_pows_host.append(ap)
+            ap = ap * alpha
+
+        from ..poly.interpolate import _coset_points_mont
+
         reduced_openings: dict[int, Any] = {}
-        num_reduced: dict[int, int] = {}
-        all_opened_values = []
-        alpha_pow_cache: dict[int, Any] = {}
+        ys_slices: dict[tuple[int, int, int], Any] = {}
+        for lh, g in sorted(heights.items(), reverse=True):
+            h = 1 << lh
+            n_low = h >> self.fri.log_blowup
+            w_total = g["ncols"]
+            n_pts = len(g["points"])
 
-        for mats, points in mats_and_points:
-            opened_for_round = []
-            for mat, points_for_mat in zip(mats, points):
-                h = int(mat.shape[0])
-                log_height = log2_strict(h)
-                if log_height not in reduced_openings:
-                    reduced_openings[log_height] = jnp.zeros((h, 4), jnp.uint32)
-                    num_reduced[log_height] = 0
-                opened_for_mat = []
-                for point in points_for_mat:
-                    low = mat[: h >> self.fri.log_blowup]
-                    natural = bit_reverse_rows(low)
-                    ys_dev = interpolate_coset(natural, F.generator().v, point)
+            mats_ordered = [m for (_, m) in sorted(g["mats"].values(), key=lambda t: t[0])]
+            cat = (
+                mats_ordered[0]
+                if len(mats_ordered) == 1
+                else jnp.concatenate(mats_ordered, axis=1)
+            )
+            natural = bit_reverse_rows(cat[:n_low])
 
-                    # alpha powers are ys-independent: the whole reduction
-                    # stays on device with no per-point host sync; ys are
-                    # fetched lazily after the loop. The device power table
-                    # depends only on the width — cached per width so wide
-                    # traces (1548 cols) build it once, not per point.
-                    w = int(mat.shape[1])
-                    alpha_pow_offset = alpha.exp(num_reduced[log_height])
-                    ap_mont = alpha_pow_cache.get(w)
-                    if ap_mont is None:
-                        alpha_pows = []
-                        ap = EF4.one()
-                        for _ in range(w):
-                            alpha_pows.append(ap)
-                            ap = ap * alpha
-                        ap_mont = jnp.asarray(
-                            np_to_mont(
-                                np.array(
-                                    [a.as_u32_vec() for a in alpha_pows],
-                                    np.uint32,
-                                )
-                            )
-                        )
-                        alpha_pow_cache[w] = ap_mont
-                    reduced_ys_dev = _dot_ys(ys_dev, ap_mont)
-                    reduced_openings[log_height] = _reduce_rows_step(
-                        mat,
-                        ap_mont,
-                        ef_const(alpha_pow_offset),
-                        reduced_ys_dev,
-                        inv_denoms[point][:h],
-                        reduced_openings[log_height],
+            # per-point alpha-weight matrix: entry k (matrix cols [c0, c0+w)
+            # opened at point p) gets alpha^{o_k}..alpha^{o_k+w-1} at
+            # weights[p, c0:c0+w]; unopened (point, col) pairs stay zero
+            weights_np = np.zeros((n_pts, w_total, 4), np.uint32)
+            num_reduced = 0
+            for ri, mi, pi, point in g["entries"]:
+                c0, mat = g["mats"][(ri, mi)]
+                w = int(mat.shape[1])
+                p_idx = g["points"][point]
+                for j in range(w):
+                    weights_np[p_idx, c0 + j] = alpha_pows_host[
+                        num_reduced + j
+                    ].as_u32_vec()
+                num_reduced += w
+            weights_dev = jnp.asarray(np_to_mont(weights_np))
+
+            zs_np = np.empty((n_pts, 4), np.uint32)
+            scales_np = np.empty((n_pts, 4), np.uint32)
+            shift = F.generator().v
+            s_pow_n = pow(shift, n_low, P_INT)
+            for point, p_idx in g["points"].items():
+                zs_np[p_idx] = point.as_u32_vec()
+                scale = (point.exp(n_low) - EF4((s_pow_n, 0, 0, 0))) * EF4(
+                    ((n_low % P_INT) * s_pow_n % P_INT, 0, 0, 0)
+                ).inverse()
+                scales_np[p_idx] = scale.as_u32_vec()
+            zs_dev = jnp.asarray(np_to_mont(zs_np))
+            scales_dev = jnp.asarray(np_to_mont(scales_np))
+            xs = jnp.asarray(_coset_points_mont(log2_strict(n_low), shift))
+            invd = jnp.stack(
+                [
+                    inv_denoms[point][:h]
+                    for point, _ in sorted(
+                        g["points"].items(), key=lambda kv: kv[1]
                     )
-                    num_reduced[log_height] += w
-                    opened_for_mat.append(ys_dev)
-                opened_for_round.append(opened_for_mat)
-            all_opened_values.append(opened_for_round)
+                ]
+            )
+
+            ys_all, ro = _open_height_kernel(
+                natural, cat, weights_dev, zs_dev, scales_dev, xs, invd
+            )
+            reduced_openings[lh] = ro
+            for ri, mi, pi, point in g["entries"]:
+                c0, mat = g["mats"][(ri, mi)]
+                w = int(mat.shape[1])
+                p_idx = g["points"][point]
+                ys_slices[(ri, mi, pi)] = ys_all[p_idx, c0 : c0 + w]
+
+        all_opened_values = [
+            [
+                [
+                    ys_slices[(ri, mi, pi)]
+                    for pi in range(len(points_for_mat))
+                ]
+                for mi, (mat, points_for_mat) in enumerate(zip(mats, points))
+            ]
+            for ri, (mats, points) in enumerate(mats_and_points)
+        ]
 
         # fetch opened values (one batched device_get after the reduction)
         all_opened_values = jax.device_get(all_opened_values)

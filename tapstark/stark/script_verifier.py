@@ -43,6 +43,10 @@ class ScriptVerifierReport:
     total_script_bytes: int = 0
     distinct_u32_count: int = 0
     challenger_compressions: int = 0
+    # the deduped committed-u32 value set behind distinct_u32_count —
+    # lets callers itemize the count against the proof's contents
+    # (tools/script_sizes.py wide-row itemization)
+    u32_values: frozenset = frozenset()
 
     def total_kb(self) -> float:
         return self.total_script_bytes / 1024
@@ -265,6 +269,7 @@ def generate_script_verifier(
         report.total_script_bytes += size
         counter.add_manager(m)
     report.distinct_u32_count = counter.get_value_num()
+    report.u32_values = frozenset(counter._values)
 
     # challenger-consistency script: replay the whole Fiat-Shamir transcript
     # in-script (blake3 permutations chained on the stack) and check every
