@@ -17,7 +17,7 @@ from tapstark.stark.serde import proof_to_bytes
 
 
 def _mk(mesh=None):
-    nq = 2
+    nq = 4
     fri = FriConfig(
         log_blowup=1,
         num_queries=nq,
@@ -28,8 +28,11 @@ def _mk(mesh=None):
 
 
 def test_mesh_prover_matches_single_device():
+    # 2^12 rows / 4 queries: per-device shards are nontrivial (the
+    # four-step all_to_all decomposition actually splits work) and every
+    # query walks a real multi-level tree
     mesh = Mesh(np.array(jax.devices()), (AXIS,))
-    trace = generate_fibonacci_trace(0, 1, 1 << 8)
+    trace = generate_fibonacci_trace(0, 1, 1 << 12)
     pis = [F(0), F(1), F(int(trace[-1, 1]))]
 
     proof_single = prove(_mk(), FibonacciAir(), BfChallenger(), trace, pis)
