@@ -179,10 +179,17 @@ def main() -> None:
                         / min(vpu_roofline_butterflies, hbm_roofline_butterflies),
                         1,
                     ),
-                    "note": "Montgomery REDC (~30 int ops/butterfly) makes the"
-                    " kernel VPU-bound, not HBM-bound (~2% of HBM peak);"
-                    " headroom = fewer ALU ops/butterfly (lazy reduction,"
-                    " int8-MXU offload -- poly/matmul_ntt.py).",
+                    "note": "VPU-bound. The LDE runs as TWO fused pallas"
+                    " dispatches (whole member-transform chains with"
+                    " in-VMEM transposes) with Shoup lazy-[0,2p)"
+                    " butterflies (poly/pallas_ntt.py"
+                    " coset_lde_batch_pallas_fused). Remaining headroom:"
+                    " ~32 int ops/butterfly vs the 30-op roofline model,"
+                    " per-stage VMEM staging copies, and the in-kernel"
+                    " transposes. Round-2's apparent 11% dip vs round 1"
+                    " (4.95e9 vs 5.57e9) was axon-relay measurement"
+                    " variance on identical kernels: the same pre-fused"
+                    " code measured 4.89-5.70e9 across round-3 runs.",
                 },
             }
         )

@@ -168,7 +168,9 @@ def coset_lde_batch_auto(evals, log_blowup: int, shift: int):
     import jax
 
     if jax.default_backend() == "tpu":
-        from .pallas_ntt import coset_lde_batch_pallas_blocks
+        from .pallas_ntt import coset_lde_batch_pallas_fused
 
-        return coset_lde_batch_pallas_blocks(evals, log_blowup, shift)
+        # two-dispatch fused path (in-VMEM transposes) where the square
+        # tile factorization applies; multi-call blocks pipeline otherwise
+        return coset_lde_batch_pallas_fused(evals, log_blowup, shift)
     return coset_lde_batch(evals, log_blowup, shift)

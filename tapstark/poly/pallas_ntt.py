@@ -43,26 +43,79 @@ def _packed_twiddles(log_r: int, inverse: bool) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_twiddles_shoup(log_r: int, inverse: bool) -> np.ndarray:
+    """(2, log_r, R/2) uint32: canonical stage twiddles and their Shoup
+    companions floor(w * 2^32 / p).
+
+    The butterfly multiplies by trace-time-constant twiddles, so Shoup's
+    precomputed-quotient multiplication applies: q = mulhi32(w_shoup, x),
+    w*x mod p = (w*x - q*p) mod 2^32, result in [0, 2p) for ANY x < 2^32.
+    Two u16-limb high products replace the Montgomery REDC chain, and the
+    [0, 2p)-lazy range defers the conditional subtract."""
+    from ..field.constants import two_adic_generator
+
+    half = max(1 << (log_r - 1), 1)
+    out = np.zeros((2, max(log_r, 1), half), dtype=np.uint32)
+    for s in range(1, log_r + 1):
+        g = two_adic_generator(s)
+        if inverse:
+            g = pow(g, P - 2, P)
+        acc = 1
+        for i in range(1 << (s - 1)):
+            out[0, s - 1, i] = acc
+            out[1, s - 1, i] = (acc << 32) // P
+            acc = acc * g % P
+    return out
+
+
+def _shoup_mul(wc, ws, x):
+    """w*x mod p in [0, 2p). wc: canonical twiddle (<p); ws: its Shoup
+    companion; x: any uint32 (Montgomery or lazy [0, 2p) values both fine).
+    Low product = one wrapping u32 multiply; high product via 16-bit limbs."""
+    x0 = x & 0xFFFF
+    x1 = x >> 16
+    ws0 = ws & 0xFFFF
+    ws1 = ws >> 16
+    m00 = ws0 * x0
+    mid1 = ws0 * x1
+    mid = mid1 + ws1 * x0  # may wrap: carry recovered below
+    midc = (mid < mid1).astype(jnp.uint32)
+    lo = m00 + (mid << 16)
+    cl = (lo < m00).astype(jnp.uint32)
+    q = ws1 * x1 + (mid >> 16) + (midc << 16) + cl  # mulhi32(ws, x)
+    wx = wc * x  # wrapping low 32 bits of w*x
+    # q*P mod 2^32 for P = 0x78000001: q + ((q*0x78) << 24)
+    qp = q + ((q * jnp.uint32(0x78)) << 24)
+    return wx - qp
+
+
+def _reduce2p(x):
+    """[0, 2p) -> [0, p): the single deferred conditional subtract."""
+    return jnp.where(x >= jnp.uint32(P), x - jnp.uint32(P), x)
+
+
 def _butterfly_kernel(log_r: int):
     r = 1 << log_r
 
     def kernel(x_ref, tw_ref, o_ref):
-        x = x_ref[:]  # (R, LANE)
+        x = x_ref[:]  # (R, LANE), values lazily in [0, 2p)
         for s in range(1, log_r + 1):
             m = 1 << s
             half = m >> 1
-            tw = tw_ref[s - 1, :half]  # (half,)
+            wc = tw_ref[0, s - 1, :half]  # canonical twiddles
+            ws = tw_ref[1, s - 1, :half]  # Shoup companions
             blk = x.reshape(r // m, m, _LANE)
-            lo = blk[:, :half, :]
-            hi = blk[:, half:, :]
-            t = fp_mul(hi, tw[None, :, None])
-            x = jnp.concatenate([fp_add(lo, t), fp_sub(lo, t)], axis=1).reshape(
-                r, _LANE
-            )
+            lo = _reduce2p(blk[:, :half, :])
+            t = _reduce2p(_shoup_mul(wc[None, :, None], ws[None, :, None], blk[:, half:, :]))
+            x = jnp.concatenate(
+                [lo + t, lo - t + jnp.uint32(P)], axis=1
+            ).reshape(r, _LANE)
             # stage through the output ref so Mosaic reuses one buffer
             # instead of keeping all log R stage temporaries live
             o_ref[:] = x
             x = o_ref[:]
+        o_ref[:] = _reduce2p(o_ref[:])  # canonicalize [0, 2p) -> [0, p)
 
     return kernel
 
@@ -78,7 +131,7 @@ def _ntt_cols_pallas(mat, log_r: int, inverse: bool):
     if pad:
         mat = jnp.pad(mat, ((0, 0), (0, pad)))
     bp = mat.shape[1]
-    tw = jnp.asarray(_packed_twiddles(log_r, inverse))
+    tw = jnp.asarray(_packed_twiddles_shoup(log_r, inverse))
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         _butterfly_kernel(log_r),
@@ -86,7 +139,7 @@ def _ntt_cols_pallas(mat, log_r: int, inverse: bool):
         grid=(bp // _LANE,),
         in_specs=[
             pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tw.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw.shape, lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, bp), jnp.uint32),
@@ -177,19 +230,23 @@ def _dif_butterfly_kernel(log_r: int):
     r = 1 << log_r
 
     def kernel(x_ref, tw_ref, o_ref):
-        x = x_ref[:]  # (R, LANE), natural order
+        x = x_ref[:]  # (R, LANE), natural order, values lazily in [0, 2p)
         for s in range(log_r, 0, -1):
             m = 1 << s
             half = m >> 1
-            tw = tw_ref[s - 1, :half]
+            wc = tw_ref[0, s - 1, :half]
+            ws = tw_ref[1, s - 1, :half]
             blk = x.reshape(r // m, m, _LANE)
-            lo = blk[:, :half, :]
-            hi = blk[:, half:, :]
-            s_lo = fp_add(lo, hi)
-            s_hi = fp_mul(fp_sub(lo, hi), tw[None, :, None])
+            lo = _reduce2p(blk[:, :half, :])
+            hi = _reduce2p(blk[:, half:, :])
+            s_lo = lo + hi  # [0, 2p)
+            s_hi = _shoup_mul(
+                wc[None, :, None], ws[None, :, None], lo - hi + jnp.uint32(P)
+            )  # [0, 2p)
             x = jnp.concatenate([s_lo, s_hi], axis=1).reshape(r, _LANE)
             o_ref[:] = x
             x = o_ref[:]
+        o_ref[:] = _reduce2p(o_ref[:])  # canonicalize [0, 2p) -> [0, p)
 
     return kernel
 
@@ -203,7 +260,7 @@ def _dif_cols_pallas(mat, log_r: int, inverse: bool):
     if pad:
         mat = jnp.pad(mat, ((0, 0), (0, pad)))
     bp = mat.shape[1]
-    tw = jnp.asarray(_packed_twiddles(log_r, inverse))
+    tw = jnp.asarray(_packed_twiddles_shoup(log_r, inverse))
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         _dif_butterfly_kernel(log_r),
@@ -211,7 +268,7 @@ def _dif_cols_pallas(mat, log_r: int, inverse: bool):
         grid=(bp // _LANE,),
         in_specs=[
             pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tw.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw.shape, lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((r, _LANE), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, bp), jnp.uint32),
@@ -340,3 +397,191 @@ def coset_lde_batch_pallas_nogather(evals, log_blowup: int, shift: int):
     blow = 1 << log_blowup
     padded = jnp.zeros((n, blow, w), jnp.uint32).at[:, 0, :].set(coeffs_brv)
     return ntt_from_bitrev_pallas(padded.reshape(n * blow, w))
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused LDE: the entire four-step member-transform chain
+# (butterflies -> outer twiddle -> TRANSPOSE -> butterflies) runs inside ONE
+# Pallas kernel per half, with the inter-member transpose done IN VMEM.
+#
+# The multi-call pipeline above pays a full HBM round trip plus a dispatch
+# for every step (2 member kernels + twiddle + 2 transposes per half); at
+# 2^20 x small-width shapes those fixed costs dominate the ~3.5 ms of pure
+# butterfly ALU. Here:
+#   kernel A (grid w):        (R, C) tile [i1, i2] -> DIF rows -> * T1/n
+#                             -> transpose -> DIF rows -> out [p2, p1]
+#   kernel B (grid blow x w): tile [p2, p1] -> * block-scale -> transpose
+#                             -> DIT rows -> * T2 -> transpose -> DIT rows
+#                             -> flat natural block written interleaved
+# Layout algebra identical to intt_to_bitrev_pallas / _block_scales /
+# ntt_from_bitrev_pallas (tested above); only the data movement moved into
+# VMEM. Values ride the lazy [0, 2p) Shoup range between stages and are
+# canonicalized before each Montgomery table multiply.
+# ---------------------------------------------------------------------------
+
+
+def _dif_stages_inplace(x, tw_ref, log_r, stage_ref):
+    """DIF butterflies along axis 0 of (R, B) x, staged through stage_ref."""
+    r = 1 << log_r
+    b = x.shape[1]
+    for s in range(log_r, 0, -1):
+        m = 1 << s
+        half = m >> 1
+        wc = tw_ref[0, s - 1, :half]
+        ws = tw_ref[1, s - 1, :half]
+        blk = x.reshape(r // m, m, b)
+        lo = _reduce2p(blk[:, :half, :])
+        hi = _reduce2p(blk[:, half:, :])
+        s_lo = lo + hi
+        s_hi = _shoup_mul(wc[None, :, None], ws[None, :, None], lo - hi + jnp.uint32(P))
+        x = jnp.concatenate([s_lo, s_hi], axis=1).reshape(r, b)
+        stage_ref[:] = x
+        x = stage_ref[:]
+    return x
+
+
+def _dit_stages_inplace(x, tw_ref, log_r, stage_ref):
+    """DIT butterflies (bitrev-in, natural-out) along axis 0, staged."""
+    r = 1 << log_r
+    b = x.shape[1]
+    for s in range(1, log_r + 1):
+        m = 1 << s
+        half = m >> 1
+        wc = tw_ref[0, s - 1, :half]
+        ws = tw_ref[1, s - 1, :half]
+        blk = x.reshape(r // m, m, b)
+        lo = _reduce2p(blk[:, :half, :])
+        t = _reduce2p(_shoup_mul(wc[None, :, None], ws[None, :, None], blk[:, half:, :]))
+        x = jnp.concatenate([lo + t, lo - t + jnp.uint32(P)], axis=1).reshape(r, b)
+        stage_ref[:] = x
+        x = stage_ref[:]
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _t1_over_n(log_r: int, log_c: int) -> np.ndarray:
+    """(R, C) Montgomery: w^{-brv_R(p1)*i2} / n  (outer twiddle of the
+    inverse half with the 1/n normalization folded in)."""
+    n = 1 << (log_r + log_c)
+    w = pow(two_adic_generator(log_r + log_c), P - 2, P)
+    n_inv = pow(n, P - 2, P)
+    brv = bitrev_indices_np(log_r)
+    rows = []
+    from .powers import np_geom_powers
+
+    for p1 in range(1 << log_r):
+        base = pow(w, int(brv[p1]), P)
+        row = np_geom_powers(base, 1 << log_c)
+        rows.append((row.astype(np.uint64) * n_inv % P).astype(np.uint32))
+    return np_to_mont(np.stack(rows))
+
+
+@functools.lru_cache(maxsize=None)
+def _scales_tiles(log_n: int, log_blowup: int, shift: int, log_r: int) -> np.ndarray:
+    """(blow, C, R) Montgomery block-scale tables in tile layout [p2, p1]
+    (the flat bitrev_n table of _block_scales reshaped+transposed)."""
+    log_c = log_n - log_r
+    s = _block_scales(log_n, log_blowup, shift)  # (blow, n) flat (p1, p2)
+    return np.ascontiguousarray(
+        s.reshape(1 << log_blowup, 1 << log_r, 1 << log_c).transpose(0, 2, 1)
+    )
+
+
+def _fused_intt_kernel(log_r: int, log_c: int):
+    def kernel(x_ref, t1_ref, twr_ref, twc_ref, o_ref, s1_ref, s2_ref):
+        x = x_ref[0]  # (R, C) [i1, i2]  (block (1, R, C): w leads)
+        x = _dif_stages_inplace(x, twr_ref, log_r, s1_ref)  # [p1, i2]
+        x = fp_mul(_reduce2p(x), t1_ref[:, :])  # * T1/n
+        x = x.T  # in-VMEM transpose -> (C, R) [i2, p1]
+        x = _dif_stages_inplace(x, twc_ref, log_c, s2_ref)
+        o_ref[0] = _reduce2p(x)  # [p2, p1]
+
+    return kernel
+
+
+def _fused_fwd_kernel(log_r: int, log_c: int):
+    # requires log_r == log_c (the caller gates on even log_n): under the
+    # flat-bitrev tile convention of the intt kernel, tile[p2, p1] holds
+    # coefficient (i1 = brv(p2), i2 = brv(p1)) — the inner DFT digit i1
+    # rides tile AXIS 0
+    assert log_r == log_c
+    r, c = 1 << log_r, 1 << log_c
+
+    def kernel(a_ref, sc_ref, t2_ref, twr_ref, twc_ref, o_ref, s1_ref, s2_ref):
+        x = a_ref[0]  # (C, R) [p2, p1]: i1 = brv(p2), i2 = brv(p1)
+        x = fp_mul(x, sc_ref[0])  # block scales (canonical inputs)
+        x = _dit_stages_inplace(x, twr_ref, log_r, s1_ref)  # [m1, p1]
+        x = fp_mul(_reduce2p(x), t2_ref[:, :])  # * w_n^{m1 * brv(p1)}
+        x = x.T  # (R, C) [p1, m1]
+        x = _dit_stages_inplace(x, twc_ref, log_c, s2_ref)  # [m2, m1]
+        o_ref[0, 0] = _reduce2p(x)  # (C, R) [m2, m1]: flat m = m2*R + m1
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("log_blowup", "shift"))
+def coset_lde_batch_pallas_fused(evals, log_blowup: int, shift: int):
+    """Coset LDE with the whole pipeline in TWO pallas dispatches."""
+    n, w = evals.shape
+    log_n = log2_strict(n)
+    if log_n < 8 or log_n > 21 or log_n % 2:
+        # odd log_n: the flat-bitrev layout doesn't factor into clean
+        # square tiles — use the multi-call pipeline
+        return coset_lde_batch_pallas_blocks(evals, log_blowup, shift)
+    log_r, log_c = _split(log_n)
+    r, c = 1 << log_r, 1 << log_c
+    blow = 1 << log_blowup
+    interpret = jax.default_backend() != "tpu"
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
+
+    twr = jnp.asarray(_packed_twiddles_shoup(log_r, True))
+    twc = jnp.asarray(_packed_twiddles_shoup(log_c, True))
+    t1 = jnp.asarray(_t1_over_n(log_r, log_c))
+    x3 = jnp.transpose(evals.reshape(r, c, w), (2, 0, 1))  # (w, R, C)
+    coeffs = pl.pallas_call(
+        _fused_intt_kernel(log_r, log_c),
+        interpret=interpret,
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec((1, r, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(twr.shape, lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(twc.shape, lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, r), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w, c, r), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((r, c), jnp.uint32),
+            pltpu.VMEM((c, r), jnp.uint32),
+        ],
+        compiler_params=vmem,
+    )(x3, t1, twr, twc)
+
+    twrf = jnp.asarray(_packed_twiddles_shoup(log_r, False))
+    twcf = jnp.asarray(_packed_twiddles_shoup(log_c, False))
+    t2 = jnp.asarray(_outer_twiddle_brv_cols(log_r, log_c, False))
+    scales = jnp.asarray(_scales_tiles(log_n, log_blowup, shift % P, log_r))
+    out = pl.pallas_call(
+        _fused_fwd_kernel(log_r, log_c),
+        interpret=interpret,
+        grid=(blow, w),
+        in_specs=[
+            pl.BlockSpec((1, c, r), lambda rb, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, r), lambda rb, j: (rb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, c), lambda rb, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(twrf.shape, lambda rb, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(twcf.shape, lambda rb, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, c, r), lambda rb, j: (rb, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((blow, w, c, r), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((r, c), jnp.uint32),
+            pltpu.VMEM((c, r), jnp.uint32),
+        ],
+        compiler_params=vmem,
+    )(coeffs, scales, t2, twrf, twcf)
+    # (blow, w, [m2, m1]) -> natural rows k = (m2*R + m1)*blow + rb
+    out = jnp.transpose(out, (2, 3, 0, 1)).reshape(n * blow, w)
+    return out

@@ -112,3 +112,28 @@ def test_matmul_fused_twiddle_epilogue():
         ref = fp_mul(mod_matmul(jnp.asarray(_w_matrix_limbs(log_r, False)), x), tw)
         got = mod_matmul_fused(x, log_r, False, tw=tw)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_fused_lde_matches_jnp():
+    """The two-dispatch fused LDE (in-VMEM transposes, Shoup butterflies)
+    must match the jnp stage pipeline bit-exactly, including the odd-log
+    fallback."""
+    import jax.numpy as jnp
+
+    from tapstark.field.constants import P
+    from tapstark.field.device import np_from_mont, np_to_mont
+    from tapstark.field.scalar import F
+    from tapstark.poly.ntt import coset_lde_batch
+    from tapstark.poly.pallas_ntt import coset_lde_batch_pallas_fused
+
+    rng = np.random.default_rng(7)
+    shift = F.generator().v
+    for log_n, blowup, w in [(8, 2, 3), (9, 1, 2), (10, 2, 2)]:
+        evals = jnp.asarray(
+            np_to_mont(rng.integers(0, P, (1 << log_n, w)).astype(np.uint32))
+        )
+        a = np_from_mont(np.asarray(coset_lde_batch(evals, blowup, shift)))
+        b = np_from_mont(
+            np.asarray(coset_lde_batch_pallas_fused(evals, blowup, shift))
+        )
+        assert np.array_equal(a, b), (log_n, blowup, w)

@@ -1,0 +1,80 @@
+"""On-TPU validation record for the Pallas SHA-256 compress kernel.
+
+Runs the fully-unrolled Pallas kernel (`hashes/sha256_device.py:
+_compress_batch_pallas`) on the real chip against the exact numpy
+compression and the lax.scan fallback, then writes PALLAS_SHA_TPU.json —
+the driver-visible artifact backing the TPU-only skip in
+tests/test_device_commit.py.
+
+Usage: python tools/pallas_sha_tpu_check.py   (requires the axon TPU)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
+    backend = jax.default_backend()
+    out = {"backend": backend, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    if backend != "tpu":
+        out["ok"] = False
+        out["note"] = "no TPU available; kernel not exercised"
+        print(json.dumps(out))
+        return
+
+    from tapstark.hashes.sha256_device import (
+        IV,
+        _compress_batch_pallas,
+        _compress_np,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    blocks = rng.integers(0, 1 << 32, (n, 16), dtype=np.uint64).astype(np.uint32)
+    state = jnp.broadcast_to(jnp.asarray(IV), (n, 8))
+    t0 = time.perf_counter()
+    dev = np.asarray(_compress_batch_pallas(state, jnp.asarray(blocks)))
+    dt = time.perf_counter() - t0
+    ref = np.stack([_compress_np(IV.copy(), blocks[i]) for i in range(0, n, 37)])
+    got = dev[::37]
+    match = bool(np.array_equal(got, ref))
+    out["ok"] = match
+    out["lanes_checked"] = int(ref.shape[0])
+    out["batch"] = n
+    out["first_call_s"] = round(dt, 3)
+    # steady state (queued reps, one sync — axon block_until_ready caveat)
+    reps = 8
+    t0 = time.perf_counter()
+    outs = [_compress_batch_pallas(state, jnp.asarray(blocks)) for _ in range(reps)]
+    _ = np.asarray(outs[-1][0, 0])
+    out["compress_per_s"] = round(n * reps / (time.perf_counter() - t0))
+    print(json.dumps(out))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PALLAS_SHA_TPU.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main()
