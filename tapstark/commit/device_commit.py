@@ -91,15 +91,28 @@ def _tail_bytes_chunk(vals_chunk, indices_chunk, tail_span: int):
     s = sbytes.shape[1]
     starts = jnp.cumsum(slens, axis=1) - slens  # (n, S)
 
-    out = jnp.full((n, tail_span), _OP_NOP, dtype=jnp.uint8)
+    # Scatter-free placement: TPU scatters serialize per element (tens of
+    # seconds at 2^22 leaves), so build the byte tensor as a static sum of
+    # per-slot one-hot matches instead — pure vectorized compares/selects.
+    # Each output byte t is covered by exactly one (slot, offset) pair;
+    # slot bytes beyond a slot's length are zero, so summing matches
+    # reproduces the byte exactly (including legitimate 0x00 data bytes —
+    # the coverage mask below distinguishes them from NOP fill).
+    t = jnp.arange(tail_span, dtype=jnp.int32)[None, :]  # (1, span)
     pos = jnp.arange(8, dtype=jnp.int32)
-    target = starts[:, :, None] + pos[None, None, :]  # (n, S, 8)
-    valid = pos[None, None, :] < slens[:, :, None]
-    target = jnp.where(valid, target, tail_span)  # dropped
-    leaf_ids = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None, None], target.shape
-    )
-    return out.at[leaf_ids, target].set(sbytes, mode="drop")
+    acc = jnp.zeros((n, tail_span), dtype=jnp.uint8)
+    for si in range(s):  # static unroll: S is the (small) slot count
+        tgt = starts[:, si, None, None] + pos[None, :, None]  # (n, 8, 1)
+        valid = pos[None, :, None] < slens[:, si, None, None]
+        match = (tgt == t[:, None, :]) & valid  # (n, 8, span)
+        acc = acc | jnp.sum(
+            jnp.where(match, sbytes[:, si, :, None], jnp.uint8(0)),
+            axis=1,
+            dtype=jnp.uint8,
+        )
+    total = starts[:, -1] + slens[:, -1]  # (n,)
+    covered = t < total[:, None]
+    return jnp.where(covered, acc, jnp.uint8(_OP_NOP))
 
 
 def _pack_words(bytes_tensor):
