@@ -82,7 +82,22 @@ def _compile(script: bytes):
                 pc += 4
             if pc + ln > n:
                 raise ScriptError("push past end of script")
-            ins.append((_PUSH, script[pc : pc + ln]))
+            data = script[pc : pc + ln]
+            # MINIMALDATA / CheckMinimalPush (interpreter.cpp): every push
+            # must use the smallest possible form
+            if ln == 0:
+                raise ScriptError("non-minimal push: empty via pushdata")
+            if ln == 1 and 1 <= data[0] <= 16:
+                raise ScriptError("non-minimal push: use OP_1..OP_16")
+            if ln == 1 and data[0] == 0x81:
+                raise ScriptError("non-minimal push: use OP_1NEGATE")
+            if opcode == op.OP_PUSHDATA1 and ln <= 0x4B:
+                raise ScriptError("non-minimal push: direct length fits")
+            if opcode == op.OP_PUSHDATA2 and ln <= 0xFF:
+                raise ScriptError("non-minimal push: PUSHDATA1 fits")
+            if opcode == op.OP_PUSHDATA4 and ln <= 0xFFFF:
+                raise ScriptError("non-minimal push: PUSHDATA2 fits")
+            ins.append((_PUSH, data))
             pc += ln
         else:
             ins.append([opcode, None])
@@ -135,6 +150,13 @@ def execute_script(
     op_count = 0
     if max_stack > stack_limit:
         return ExecutionResult(False, st, "stack size limit exceeded", 0, max_stack)
+    for w in st:
+        # BIP342: MAX_SCRIPT_ELEMENT_SIZE applies to initial witness
+        # elements exactly as to pushed ones
+        if len(w) > MAX_ELEMENT:
+            return ExecutionResult(
+                False, st, "witness element too large", 0, max_stack
+            )
 
     try:
         ins, offsets = _compile(bytes(script))
