@@ -60,12 +60,18 @@ def main() -> None:
         )
         return TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri)
 
+    from tapstark.utils import profiling
+
     proof = prove(mk(), air, BfChallenger(), trace, pis_f)  # warm compiles
     verify(mk(), air, BfChallenger(), proof, pis_f)
 
+    profiling.enable()
+    profiling.reset()
     t0 = time.perf_counter()
     proof = prove(mk(), air, BfChallenger(), trace, pis_f)
     dt = time.perf_counter() - t0
+    phases = {k: round(v["total_s"], 3) for k, v in profiling.report().items()}
+    profiling.enable(False)
     verify(mk(), air, BfChallenger(), proof, pis_f)
 
     print(
@@ -77,6 +83,7 @@ def main() -> None:
                 "unit": "s",
                 "permutations_per_s": round(num_blocks / dt, 2),
                 "rows_per_s": round(trace.shape[0] / dt, 1),
+                "phases": phases,
                 "backend": jax.default_backend(),
             }
         )
