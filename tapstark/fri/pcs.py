@@ -36,7 +36,6 @@ from ..field.device import (
     ef_neg,
     ef_sub,
     fp_add,
-    fp_sub,
     fetch_canonical,
     np_from_mont,
     np_to_mont,
@@ -44,7 +43,6 @@ from ..field.device import (
 from ..field.constants import P as P_INT
 from ..field.scalar import EF4, F
 from ..poly.domain import TwoAdicMultiplicativeCoset
-from ..poly.interpolate import interpolate_coset
 from ..poly.ntt import bit_reverse_rows, coset_lde_batch_auto
 from ..poly.powers import np_geom_powers
 from ..poly.reduce import fp_sum_axis0
@@ -80,16 +78,6 @@ class PcsProverData:
 
 
 @jax.jit
-def _reduce_rows_step(mat, alpha_pows, offset, reduced_ys, inv_denoms, ro):
-    """ro += offset * (sum_j alpha^j mat[:, j] - reduced_ys) * inv_denom  (all ext)."""
-    prod = ef_mul_base(alpha_pows[None, :, :], mat)  # (N, w, 4)
-    red_row = fp_sum_axis0(jnp.moveaxis(prod, 1, 0))  # (N, 4)
-    diff = ef_sub(red_row, jnp.broadcast_to(reduced_ys, red_row.shape))
-    term = ef_mul(ef_mul(diff, inv_denoms), jnp.broadcast_to(offset, red_row.shape))
-    return ef_add(ro, term)
-
-
-@jax.jit
 def _inv_denoms_jit(xs_dev, z_mont):
     """(z - x)^{-1} batched: denom = x - z over the coset prefix; the p-2
     inverse pow-chain fuses under jit instead of dispatching ~40 eager ops."""
@@ -97,12 +85,6 @@ def _inv_denoms_jit(xs_dev, z_mont):
     neg_z = ef_neg(jnp.broadcast_to(z_mont, (n, 4)))
     denom = neg_z.at[:, 0].set(fp_add(neg_z[:, 0], xs_dev))
     return ef_inv(denom)
-
-
-@jax.jit
-def _dot_ys(ys, alpha_pows):
-    """sum_i alpha^i * ys_i over (w, 4) ext arrays -> (4,)."""
-    return fp_sum_axis0(ef_mul(ys, alpha_pows))
 
 
 @jax.jit
