@@ -33,16 +33,6 @@ from .ntt import _n_inv_mont, _shift_powers, _stage_twiddles
 _LANE = 128
 
 
-def _packed_twiddles(log_r: int, inverse: bool) -> np.ndarray:
-    """(log_r, R/2) uint32: stage s-1 row holds its 2^(s-1) twiddles (padded)."""
-    tws = _stage_twiddles(log_r, inverse)
-    half = max(1 << (log_r - 1), 1)
-    out = np.zeros((max(log_r, 1), half), dtype=np.uint32)
-    for s in range(1, log_r + 1):
-        out[s - 1, : 1 << (s - 1)] = tws[s - 1]
-    return out
-
-
 @functools.lru_cache(maxsize=None)
 def _packed_twiddles_shoup(log_r: int, inverse: bool) -> np.ndarray:
     """(2, log_r, R/2) uint32: canonical stage twiddles and their Shoup
