@@ -26,9 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..field.constants import P, R_MOD_P, two_adic_generator
-from ..field.device import fp_add, fp_mul, fp_sub, np_to_mont
+from ..field.device import fp_mul, np_to_mont
 from ..utils import bitrev_indices, log2_strict
-from .ntt import _n_inv_mont, _shift_powers, _stage_twiddles
+from .ntt import _n_inv_mont, _shift_powers
 
 _LANE = 128
 
