@@ -8,13 +8,14 @@ at {zeta, zeta*g} and every chunk at zeta through the PCS.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..air.folders import ProverConstraintFolder
+from ..air.folders import DExpr, ProverConstraintFolder
 from ..air.symbolic import get_log_quotient_degree
 from ..challenger import BfChallenger
-from ..field.device import ef_mul_base, to_mont
+from ..field.device import ef_mul_base, np_to_mont, to_mont
 from ..field.scalar import EF4, F
 from ..fri.pcs import TwoAdicFriPcs
 from ..utils import log2_strict
@@ -103,19 +104,66 @@ def prove(
     )
 
 
+_quotient_jit_cache: dict = {}
+
+
 def quotient_values(
     air, public_values, trace_domain, quotient_domain, trace_on_quotient_domain, alpha
 ):
     """Constraint accumulator over the whole quotient coset, divided by the
-    zeroifier (prover.rs:121-194, vectorized instead of packed+rayon)."""
+    zeroifier (prover.rs:121-194, vectorized instead of packed+rayon).
+
+    The whole folder evaluation runs under ONE jit: wide AIRs unroll to
+    thousands of constraints, and evaluating them eagerly dispatches tens
+    of thousands of tiny device programs (≈30 min through the axon relay
+    for the 1548-col Blake3 AIR). Compiled programs are cached per
+    (air type, shape, public values) — alpha enters as a traced argument
+    so resampling it never recompiles."""
+    from ..poly.domain import LagrangeSelectors
+
     sels = trace_domain.selectors_on_coset(quotient_domain)
     qdb = quotient_domain.log_n - trace_domain.log_n
     next_step = 1 << qdb
 
-    folder = ProverConstraintFolder(
-        trace_on_quotient_domain, next_step, public_values, sels, alpha
+    key = (
+        type(air).__qualname__,
+        air.width(),
+        trace_on_quotient_domain.shape,
+        next_step,
+        tuple(v.v for v in public_values),
     )
-    air.eval(folder)
-    acc = folder.accumulator
-    assert acc.ext
-    return ef_mul_base(acc.arr, sels.inv_zeroifier)
+    fn = _quotient_jit_cache.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(tq, first, last, trans, invz, alpha4):
+            folder = ProverConstraintFolder(
+                tq,
+                next_step,
+                public_values,
+                LagrangeSelectors(
+                    is_first_row=first,
+                    is_last_row=last,
+                    is_transition=trans,
+                    inv_zeroifier=invz,
+                ),
+                DExpr(alpha4, True),
+            )
+            air.eval(folder)
+            acc = folder.accumulator
+            assert acc.ext
+            return ef_mul_base(acc.arr, invz)
+
+        _quotient_jit_cache[key] = fn
+
+    alpha4 = jnp.asarray(
+        np_to_mont(np.array(alpha.as_u32_vec(), np.uint32))
+    )
+    return fn(
+        trace_on_quotient_domain,
+        sels.is_first_row,
+        sels.is_last_row,
+        sels.is_transition,
+        sels.inv_zeroifier,
+        alpha4,
+    )
