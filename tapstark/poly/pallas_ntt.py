@@ -490,21 +490,21 @@ def _fused_intt_kernel(log_r: int, log_c: int):
 
 
 def _fused_fwd_kernel(log_r: int, log_c: int):
-    # requires log_r == log_c (the caller gates on even log_n): under the
-    # flat-bitrev tile convention of the intt kernel, tile[p2, p1] holds
-    # coefficient (i1 = brv(p2), i2 = brv(p1)) — the inner DFT digit i1
-    # rides tile AXIS 0
-    assert log_r == log_c
-    r, c = 1 << log_r, 1 << log_c
+    # General split (odd log_n included). Tile convention (matches the intt
+    # kernel's output): tile[p2, p1] of shape (C, R) holds coefficient
+    # j = j2*R + j1 with j2 = brv_C(p2) (high digit) and j1 = brv_R(p1)
+    # (low digit). The forward DFT Y[k1*C + k2] = sum_j c_j w^{jk} then
+    # factors as: size-C DIT over j2 (tile axis 0, already bit-reversed),
+    # twiddle w^{k2 * j1}, transpose, size-R DIT over j1.
 
-    def kernel(a_ref, sc_ref, t2_ref, twr_ref, twc_ref, o_ref, s1_ref, s2_ref):
-        x = a_ref[0]  # (C, R) [p2, p1]: i1 = brv(p2), i2 = brv(p1)
+    def kernel(a_ref, sc_ref, t2_ref, twc_ref, twr_ref, o_ref, s1_ref, s2_ref):
+        x = a_ref[0]  # (C, R) [p2, p1]
         x = fp_mul(x, sc_ref[0])  # block scales (canonical inputs)
-        x = _dit_stages_inplace(x, twr_ref, log_r, s1_ref)  # [m1, p1]
-        x = fp_mul(_reduce2p(x), t2_ref[:, :])  # * w_n^{m1 * brv(p1)}
-        x = x.T  # (R, C) [p1, m1]
-        x = _dit_stages_inplace(x, twc_ref, log_c, s2_ref)  # [m2, m1]
-        o_ref[0, 0] = _reduce2p(x)  # (C, R) [m2, m1]: flat m = m2*R + m1
+        x = _dit_stages_inplace(x, twc_ref, log_c, s1_ref)  # (C, R) [k2, p1]
+        x = fp_mul(_reduce2p(x), t2_ref[:, :])  # * w_n^{k2 * brv_R(p1)}
+        x = x.T  # (R, C) [p1, k2]
+        x = _dit_stages_inplace(x, twr_ref, log_r, s2_ref)  # [k1, k2]
+        o_ref[0, 0] = _reduce2p(x)  # (R, C) [k1, k2]: flat k = k1*C + k2
 
     return kernel
 
@@ -514,9 +514,9 @@ def coset_lde_batch_pallas_fused(evals, log_blowup: int, shift: int):
     """Coset LDE with the whole pipeline in TWO pallas dispatches."""
     n, w = evals.shape
     log_n = log2_strict(n)
-    if log_n < 8 or log_n > 21 or log_n % 2:
-        # odd log_n: the flat-bitrev layout doesn't factor into clean
-        # square tiles — use the multi-call pipeline
+    if log_n < 8 or log_n > 21:
+        # tiny shapes aren't worth a pallas dispatch; above 2^21 the
+        # (R, C) tiles outgrow VMEM — use the multi-call pipeline
         return coset_lde_batch_pallas_blocks(evals, log_blowup, shift)
     log_r, log_c = _split(log_n)
     r, c = 1 << log_r, 1 << log_c
@@ -549,7 +549,7 @@ def coset_lde_batch_pallas_fused(evals, log_blowup: int, shift: int):
 
     twrf = jnp.asarray(_packed_twiddles_shoup(log_r, False))
     twcf = jnp.asarray(_packed_twiddles_shoup(log_c, False))
-    t2 = jnp.asarray(_outer_twiddle_brv_cols(log_r, log_c, False))
+    t2 = jnp.asarray(_outer_twiddle_brv_cols(log_c, log_r, False))  # (C, R)
     scales = jnp.asarray(_scales_tiles(log_n, log_blowup, shift % P, log_r))
     out = pl.pallas_call(
         _fused_fwd_kernel(log_r, log_c),
@@ -558,20 +558,20 @@ def coset_lde_batch_pallas_fused(evals, log_blowup: int, shift: int):
         in_specs=[
             pl.BlockSpec((1, c, r), lambda rb, j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, r), lambda rb, j: (rb, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, c), lambda rb, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(twrf.shape, lambda rb, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, r), lambda rb, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(twcf.shape, lambda rb, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(twrf.shape, lambda rb, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, c, r), lambda rb, j: (rb, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, r, c), lambda rb, j: (rb, j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((blow, w, c, r), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((blow, w, r, c), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((r, c), jnp.uint32),
             pltpu.VMEM((c, r), jnp.uint32),
+            pltpu.VMEM((r, c), jnp.uint32),
         ],
         compiler_params=vmem,
-    )(coeffs, scales, t2, twrf, twcf)
-    # (blow, w, [m2, m1]) -> natural rows k = (m2*R + m1)*blow + rb
+    )(coeffs, scales, t2, twcf, twrf)
+    # (blow, w, [k1, k2]) -> natural rows k_big = (k1*C + k2)*blow + rb
     out = jnp.transpose(out, (2, 3, 0, 1)).reshape(n * blow, w)
     return out

@@ -116,8 +116,8 @@ def test_matmul_fused_twiddle_epilogue():
 
 def test_fused_lde_matches_jnp():
     """The two-dispatch fused LDE (in-VMEM transposes, Shoup butterflies)
-    must match the jnp stage pipeline bit-exactly, including the odd-log
-    fallback."""
+    must match the jnp stage pipeline bit-exactly — both the square-tile
+    (even log_n) and rectangular-tile (odd log_n) factorizations."""
     import jax.numpy as jnp
 
     from tapstark.field.constants import P
@@ -128,7 +128,7 @@ def test_fused_lde_matches_jnp():
 
     rng = np.random.default_rng(7)
     shift = F.generator().v
-    for log_n, blowup, w in [(8, 2, 3), (9, 1, 2), (10, 2, 2)]:
+    for log_n, blowup, w in [(8, 2, 3), (9, 1, 2), (9, 2, 3), (10, 2, 2), (11, 2, 1)]:
         evals = jnp.asarray(
             np_to_mont(rng.integers(0, P, (1 << log_n, w)).astype(np.uint32))
         )
