@@ -140,15 +140,18 @@ def main() -> None:
     vs_baseline = rate * numpy_cost  # speedup vs single-thread numpy reference
 
     # -- roofline ----------------------------------------------------------
-    # Analytic HBM traffic of the block-decomposed LDE (each four-step
-    # member pass reads+writes the array once; outer twiddle / transpose /
-    # scale passes likewise; see poly/pallas_ntt.py): iNTT ~4 passes of the
-    # (n, w) array, block scale ~(r+w+blow*scales), forward NTT ~4 passes of
-    # the (n, blow*w) array.
+    # Analytic HBM traffic of the FUSED two-dispatch LDE
+    # (poly/pallas_ntt.py coset_lde_batch_pallas_fused): the input/output
+    # layout transposes are one read+write pass each; kernel A reads the
+    # evals once and writes the coeff tiles once (all butterfly stages and
+    # the inter-member transpose stay in VMEM); kernel B re-reads the coeff
+    # tiles once per blowup block, reads the per-block scale tables (big),
+    # and writes the big output once. Twiddle tables are grid-invariant
+    # (negligible next to the array passes).
     el = 4  # bytes per field element
     small = n * width * el
     big = (n << log_blowup) * width * el
-    hbm_bytes = 4 * 2 * small + (small + 2 * big) + 4 * 2 * big
+    hbm_bytes = 4 * small + 5 * big
     achieved_gbps = hbm_bytes / dt / 1e9
     HBM_PEAK_GBPS = 819.0  # TPU v5e
     # VPU-bound check: Montgomery 16-bit-limb butterfly ~= 30 int ALU ops

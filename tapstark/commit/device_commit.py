@@ -42,77 +42,79 @@ _OP_NOP = op.OP_NOP
 _LEAF_CHUNK = 1 << 16
 
 
-def _slot_bytes_and_lens(vals, is_index: bool):
-    """vals (..., S) uint32 canonical (< 2^31) -> (bytes (..., S, 8) uint8,
-    lens (..., S) int32). Slot = push_int(v) || FROMALT || EQV (|| OP_1 for
-    the index slot)."""
-    v = vals.astype(jnp.uint32)
-    zero = v == 0
-    small = (v >= 1) & (v <= 16)
-    ndata = (
-        1
-        + (v >= jnp.uint32(0x80)).astype(jnp.int32)
-        + (v >= jnp.uint32(0x8000)).astype(jnp.int32)
-        + (v >= jnp.uint32(0x800000)).astype(jnp.int32)
-    )
-    enc_len = jnp.where(zero | small, 1, 1 + ndata)
-    first = jnp.where(
-        zero,
-        jnp.uint32(0),
-        jnp.where(small, jnp.uint32(op.OP_1 - 1) + v, ndata.astype(jnp.uint32)),
-    )
-    cols = []
-    for p in range(8):
-        if p == 0:
-            b = first
-        else:
-            data = (v >> jnp.uint32(8 * (p - 1))) & jnp.uint32(0xFF)
-            b = jnp.where((~zero) & (~small) & (p <= ndata), data, jnp.uint32(0))
-        b = jnp.where(p == enc_len, jnp.uint32(_OP_FROMALT), b)
-        b = jnp.where(p == enc_len + 1, jnp.uint32(_OP_EQV), b)
-        if is_index:
-            b = jnp.where(p == enc_len + 2, jnp.uint32(_OP_1), b)
-        cols.append(b)
-    out = jnp.stack(cols, axis=-1).astype(jnp.uint8)
-    slot_len = enc_len + (3 if is_index else 2)
-    return out, slot_len
+_T_BLOCK = 64
 
 
 def _tail_bytes_chunk(vals_chunk, indices_chunk, tail_span: int):
     """vals_chunk (n, K, L) uint32 canonical, indices_chunk (n,) -> byte
     tensor (n, tail_span) uint8: value slots (values reversed, limbs in
-    order), index slot, then OP_NOP fill."""
-    n, k, l = vals_chunk.shape
-    slot_vals = vals_chunk[:, ::-1, :].reshape(n, k * l)
-    vb, vl = _slot_bytes_and_lens(slot_vals, is_index=False)
-    ib, il = _slot_bytes_and_lens(indices_chunk[:, None], is_index=True)
-    sbytes = jnp.concatenate([vb, ib], axis=1)  # (n, S, 8)
-    slens = jnp.concatenate([vl, il[:, :1]], axis=1)  # (n, S)
-    s = sbytes.shape[1]
-    starts = jnp.cumsum(slens, axis=1) - slens  # (n, S)
+    order), index slot, then OP_NOP fill.
 
-    # Scatter-free placement: TPU scatters serialize per element (tens of
-    # seconds at 2^22 leaves), so build the byte tensor as a static sum of
-    # per-slot one-hot matches instead — pure vectorized compares/selects.
-    # Each output byte t is covered by exactly one (slot, offset) pair;
-    # slot bytes beyond a slot's length are zero, so summing matches
-    # reproduces the byte exactly (including legitimate 0x00 data bytes —
-    # the coverage mask below distinguishes them from NOP fill).
-    t = jnp.arange(tail_span, dtype=jnp.int32)[None, :]  # (1, span)
-    pos = jnp.arange(8, dtype=jnp.int32)
-    acc = jnp.zeros((n, tail_span), dtype=jnp.uint8)
-    for si in range(s):  # static unroll: S is the (small) slot count
-        tgt = starts[:, si, None, None] + pos[None, :, None]  # (n, 8, 1)
-        valid = pos[None, :, None] < slens[:, si, None, None]
-        match = (tgt == t[:, None, :]) & valid  # (n, 8, span)
-        acc = acc | jnp.sum(
-            jnp.where(match, sbytes[:, si, :, None], jnp.uint8(0)),
-            axis=1,
-            dtype=jnp.uint8,
+    Scatter-free placement (TPU scatters serialize per element — tens of
+    seconds at 2^22 leaves): every output byte t is covered by exactly one
+    slot, found with a (start <= t < end) one-hot over the S slots. The
+    per-slot metadata the byte needs (first byte, encoding length, start)
+    is PACKED into one word so the one-hot gather is two masked sums
+    (packed word + raw value) instead of an 8-wide per-position match;
+    the byte itself is then computed structurally from the in-slot offset
+    p: p=0 -> first byte, p<enc -> CScriptNum data byte (v >> 8(p-1)),
+    p=enc -> OP_FROMALTSTACK, p=enc+1 -> OP_EQUALVERIFY, p=enc+2 (index
+    slot only) -> OP_1. Byte-exact with script.builder.push_int."""
+    n, k, l = vals_chunk.shape
+    slot_vals = vals_chunk[:, ::-1, :].reshape(n, k * l).astype(jnp.uint32)
+    v = jnp.concatenate(
+        [slot_vals, indices_chunk[:, None].astype(jnp.uint32)], axis=1
+    )  # (n, S); the last slot is the index slot
+    s = v.shape[1]
+    zero = v == 0
+    small = (v >= jnp.uint32(1)) & (v <= jnp.uint32(16))
+    ndata = (
+        jnp.uint32(1)
+        + (v >= jnp.uint32(0x80)).astype(jnp.uint32)
+        + (v >= jnp.uint32(0x8000)).astype(jnp.uint32)
+        + (v >= jnp.uint32(0x800000)).astype(jnp.uint32)
+    )
+    enc_len = jnp.where(zero | small, jnp.uint32(1), 1 + ndata)
+    first = jnp.where(
+        zero, jnp.uint32(0), jnp.where(small, jnp.uint32(op.OP_1 - 1) + v, ndata)
+    )
+    extra = jnp.where(
+        jnp.arange(s) == s - 1, jnp.uint32(3), jnp.uint32(2)
+    )  # FROMALT+EQV (+OP_1 for the index slot)
+    slot_len = enc_len + extra[None, :]
+    ends = jnp.cumsum(slot_len, axis=1)  # (n, S)
+    starts = ends - slot_len
+    total = ends[:, -1]  # (n,)
+    # packed metadata: first (8 bits) | enc_len (4 bits) | start (20 bits)
+    packed = first | (enc_len << jnp.uint32(8)) | (starts << jnp.uint32(12))
+
+    blocks = []
+    for t0 in range(0, tail_span, _T_BLOCK):
+        t = jnp.arange(t0, min(t0 + _T_BLOCK, tail_span), dtype=jnp.uint32)
+        m = (t[None, None, :] >= starts[:, :, None]) & (
+            t[None, None, :] < ends[:, :, None]
+        )  # (n, S, T): at most one true per (n, t)
+        pk = jnp.sum(jnp.where(m, packed[:, :, None], jnp.uint32(0)), axis=1)
+        vv = jnp.sum(jnp.where(m, v[:, :, None], jnp.uint32(0)), axis=1)
+        f = pk & jnp.uint32(0xFF)
+        e = (pk >> jnp.uint32(8)) & jnp.uint32(0xF)
+        p = t[None, :] - (pk >> jnp.uint32(12))  # in-slot offset
+        data = (vv >> (jnp.uint32(8) * jnp.where(p == 0, 0, p - 1))) & jnp.uint32(0xFF)
+        byte = jnp.where(
+            p == 0,
+            f,
+            jnp.where(
+                p < e,
+                data,
+                jnp.where(
+                    p == e,
+                    jnp.uint32(_OP_FROMALT),
+                    jnp.where(p == e + 1, jnp.uint32(_OP_EQV), jnp.uint32(_OP_1)),
+                ),
+            ),
         )
-    total = starts[:, -1] + slens[:, -1]  # (n,)
-    covered = t < total[:, None]
-    return jnp.where(covered, acc, jnp.uint8(_OP_NOP))
+        blocks.append(jnp.where(t[None, :] < total[:, None], byte, jnp.uint32(_OP_NOP)))
+    return jnp.concatenate(blocks, axis=1).astype(jnp.uint8)
 
 
 def _pack_words(bytes_tensor):
