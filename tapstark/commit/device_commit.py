@@ -290,9 +290,11 @@ def _branch_level_jit(level):
 def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
     """ALL repetitions of one shard in one program: suffix (N, W) shared,
     midstates (R, 8) + rem_words (R, W) per rep. Returns (roots (R, 8),
-    [upper level arrays (R, n_l, 8) for l >= cutoff]). One device dispatch
-    chain per shard instead of per (rep, level) — the relay's per-call
-    latency made per-rep loops the bottleneck."""
+    upper levels l in [cutoff, depth) CONCATENATED along the node axis as
+    one (R, total_nodes, 8) array — a single HBM-resident residency for the
+    query-path gathers). One device dispatch chain per shard instead of per
+    (rep, level) — the relay's per-call latency made per-rep loops the
+    bottleneck."""
     from jax import lax
 
     r, w = rem_words.shape
@@ -315,25 +317,119 @@ def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
         level = tapbranch_hash_batch(level[:, 0::2, :], level[:, 1::2, :])
         if l + 1 >= cutoff and l + 1 < depth:
             upper.append(level)
-    return level[:, 0, :], upper
+    flat = (
+        jnp.concatenate(upper, axis=1)
+        if upper
+        else jnp.zeros((r, 0, 8), jnp.uint32)
+    )
+    return level[:, 0, :], flat
+
+
+def _upper_offsets(n: int, cutoff: int) -> list[int]:
+    """Node-axis offset of each stored level l in [cutoff, depth) inside the
+    concatenated upper array (level l holds n >> l nodes)."""
+    depth = max((n - 1).bit_length(), 0)
+    offs = []
+    acc = 0
+    for l in range(cutoff, depth):
+        offs.append(acc)
+        acc += n >> l
+    return offs
+
+
+@jax.jit
+def _path_gather_jit(flat, idxs):
+    """flat (total, 8) one rep's concatenated upper levels, idxs (L,) int32
+    -> (L, 8) sibling nodes of one query path."""
+    return jnp.take(flat, idxs, axis=0)
+
+
+class DeviceUppers:
+    """Upper taptree levels of one shard rep-group, kept ON DEVICE.
+
+    The host only ever reads ~(depth - cutoff) sibling nodes per repetition
+    (each rep tree serves exactly one FRI query), so fetching whole levels
+    (~n/2^cutoff nodes x 32 B x reps) over the relay is almost entirely
+    wasted transfer. Openings instead gather the single query path on
+    device; the FRI prover pre-samples every query index and materializes
+    all gathers in one jax.device_get (see fri/prover.py)."""
+
+    def __init__(self, flat_dev, n: int, cutoff: int):
+        self.flat = flat_dev  # (R, total, 8) uint32
+        self.n = n
+        self.cutoff = cutoff
+        self.depth = max((n - 1).bit_length(), 0)
+        self.offsets = _upper_offsets(n, cutoff)
+
+    def view(self, rep: int) -> "DeviceUppersPath":
+        return DeviceUppersPath(self, rep)
+
+
+class DeviceUppersPath:
+    """One repetition's lazy path accessor (the `upper_levels` argument of
+    SparseNativeTaptree). plan(i) dispatches the gather asynchronously;
+    path_bytes(i) returns the sibling hashes for levels [cutoff, depth),
+    fetching on demand if no prefetch happened."""
+
+    def __init__(self, group: DeviceUppers, rep: int):
+        self._g = group
+        self._rep = rep
+        self._pending: dict[int, object] = {}
+        self._cache: dict[int, list[bytes]] = {}
+
+    def _idxs(self, i: int) -> np.ndarray:
+        g = self._g
+        return np.array(
+            [off + (((i >> l) ^ 1) & ((g.n >> l) - 1))
+             for off, l in zip(g.offsets, range(g.cutoff, g.depth))],
+            dtype=np.int32,
+        )
+
+    def plan(self, i: int):
+        """Dispatch the path gather (async); returns a device handle (or
+        None when cached/empty). The caller batches handles into one
+        jax.device_get and hands results back via materialize()."""
+        if i in self._cache or i in self._pending or not self._g.offsets:
+            return None
+        h = _path_gather_jit(self._g.flat[self._rep], jnp.asarray(self._idxs(i)))
+        self._pending[i] = h
+        return h
+
+    def materialize(self, i: int, fetched: np.ndarray) -> None:
+        self._pending.pop(i, None)
+        self._cache[i] = _nodes_to_bytes(fetched)
+
+    def path_bytes(self, i: int) -> list[bytes]:
+        if i not in self._cache:
+            if not self._g.offsets:
+                return []
+            h = self._pending.pop(i, None)
+            if h is None:
+                h = _path_gather_jit(
+                    self._g.flat[self._rep], jnp.asarray(self._idxs(i))
+                )
+            self._cache[i] = _nodes_to_bytes(np.asarray(h))
+        return self._cache[i]
+
+
+def _nodes_to_bytes(nodes: np.ndarray) -> list[bytes]:
+    """(L, 8) uint32 big-endian digest words -> L x 32-byte hashes."""
+    b = np.ascontiguousarray(nodes.astype(">u4")).view(np.uint8).reshape(-1, 32)
+    return [bytes(row) for row in b]
 
 
 def shard_trees_rep_group(suffix_words, midstates: np.ndarray, rem_words: np.ndarray, cutoff: int):
     """A group of repetitions of one shard in one jitted program: returns
-    (roots: [bytes]*R, uppers: [per-level (R, n_l, 32) uint8 arrays])."""
-    roots_dev, upper_dev = _trees_all_reps_jit(
+    (roots: [bytes]*R — the only part fetched now — and a DeviceUppers
+    handle whose per-rep views serve query paths later)."""
+    roots_dev, flat_dev = _trees_all_reps_jit(
         suffix_words, jnp.asarray(midstates), jnp.asarray(rem_words), cutoff
     )
-    fetched = jax.device_get((roots_dev, upper_dev))
-    roots_np, uppers_np = fetched
+    roots_np = jax.device_get(roots_dev)
     roots = [
         np.ascontiguousarray(roots_np[r].astype(">u4")).tobytes()
         for r in range(roots_np.shape[0])
     ]
-    uppers = [
-        np.ascontiguousarray(u.astype(">u4")).view(np.uint8).reshape(u.shape[0], -1, 32)
-        for u in uppers_np
-    ]
-    return roots, uppers
+    return roots, DeviceUppers(flat_dev, int(suffix_words.shape[0]), cutoff)
 
 

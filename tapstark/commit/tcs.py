@@ -321,6 +321,16 @@ class SparseNativeTaptree:
             self._head, self._fixed_len, i, self._values[i]
         )
 
+    def plan_path(self, logical_index: int):
+        """Device-backed trees: dispatch the upper-path gather (async) so
+        the FRI prover can batch every query's fetch into one device_get.
+        Returns (path_view, index, handle) or None (host trees / cached)."""
+        plan = getattr(self._upper, "plan", None)
+        if plan is None:
+            return None
+        h = plan(logical_index)
+        return (self._upper, logical_index, h) if h is not None else None
+
     def get_tapleaf(self, logical_index: int) -> LeafNode:
         from .. import native
 
@@ -340,8 +350,12 @@ class SparseNativeTaptree:
         branch = [
             bytes(sub[l][(((i - base) >> l) ^ 1)]) for l in range(cutoff)
         ]
-        for l in range(cutoff, depth):
-            branch.append(bytes(self._upper[l - cutoff][(i >> l) ^ 1]))
+        path_bytes = getattr(self._upper, "path_bytes", None)
+        if path_bytes is not None:  # device-resident uppers (one-path gather)
+            branch.extend(path_bytes(i))
+        else:
+            for l in range(cutoff, depth):
+                branch.append(bytes(self._upper[l - cutoff][(i >> l) ^ 1]))
         return LeafNode(
             script=self._script_fn(i),
             leaf_hash=bytes(sub[0][i - base]),
@@ -417,6 +431,19 @@ class CommitedData:
     def leaf_limbs(self, i: int) -> list[list[int]]:
         return [[int(x) for x in v] for v in self.values_np[i]]
 
+    def plan_query(self, query_index: int) -> list:
+        """Dispatch async upper-path gathers for every device-backed shard
+        tree of this repetition; returns plan tuples for
+        materialize_path_plans. Host-built trees contribute nothing."""
+        plans = []
+        for tree in self.trees:
+            plan = getattr(tree, "plan_path", None)
+            if plan is not None:
+                p = plan(query_index)
+                if p is not None:
+                    plans.append(p)
+        return plans
+
     def query_proof(self, query_index: int):
         proofs = [
             CommitedProof(
@@ -429,6 +456,19 @@ class CommitedData:
         if len(proofs) == 1:
             return proofs[0]
         return ShardedCommitedProof(shards=proofs)
+
+
+def materialize_path_plans(plans: list) -> None:
+    """Fetch every planned upper-path gather in ONE jax.device_get and hand
+    the results back to their path views (relay transfers are latency-bound:
+    one round trip for all queries instead of one per (query, tree))."""
+    if not plans:
+        return
+    import jax
+
+    fetched = jax.device_get([h for (_, _, h) in plans])
+    for (view, idx, _), arr in zip(plans, fetched):
+        view.materialize(idx, arr)
 
 
 def _leaf_witness(use_bcs: UseBComm, index: int, values: list[list[int]]) -> list[bytes]:
@@ -631,7 +671,7 @@ class TCS:
                         assert len(head) == len(heads[0]) and fixed_len == fixed0
                         trees_by_rep[r][s] = SparseNativeTaptree(
                             roots[j],
-                            [u[j] for u in uppers],
+                            uppers.view(j),  # device-resident, path-gathered
                             n,
                             head,
                             fixed_len,

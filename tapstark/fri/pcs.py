@@ -336,16 +336,15 @@ class TwoAdicFriPcs:
             reduced_openings[lh] for lh in sorted(reduced_openings.keys(), reverse=True)
         ]
 
+        def _reduced_index(data, query_index):
+            log_max_height = log2_strict(self.mmcs.get_max_height(data.commited))
+            return query_index >> (log_global_max_height - log_max_height)
+
         def open_input(query_times_index, query_index):
             out = []
             for data, _ in rounds:
-                log_max_height = log2_strict(
-                    self.mmcs.get_max_height(data.commited)
-                )
-                bits_reduced = log_global_max_height - log_max_height
-                reduced_index = query_index >> bits_reduced
                 opened_values, opening_proof = self.mmcs.open_batch(
-                    query_times_index, reduced_index, data.commited
+                    query_times_index, _reduced_index(data, query_index), data.commited
                 )
                 out.append(
                     BatchOpening(
@@ -354,7 +353,19 @@ class TwoAdicFriPcs:
                 )
             return out
 
-        fri_proof = fri_prover.bf_prove(self.fri, fri_input, challenger, open_input)
+        def plan_input(query_times_index, query_index):
+            # async upper-path gather dispatch for every input-round tree of
+            # this repetition (batched into one fetch by the FRI prover)
+            plans = []
+            for data, _ in rounds:
+                plans += data.commited[query_times_index].plan_query(
+                    _reduced_index(data, query_index)
+                )
+            return plans
+
+        fri_proof = fri_prover.bf_prove(
+            self.fri, fri_input, challenger, open_input, plan_input=plan_input
+        )
         return all_opened_values, fri_proof
 
     def _compute_inverse_denominators(self, mats_and_points):

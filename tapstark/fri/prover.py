@@ -36,6 +36,7 @@ def bf_prove(
     challenger: BfChallenger,
     open_input,
     extra_query_index_bits: int = 0,
+    plan_input=None,
 ) -> FriProof:
     assert all(
         inputs[i].shape[0] >= inputs[i + 1].shape[0] for i in range(len(inputs) - 1)
@@ -60,9 +61,29 @@ def bf_prove(
     with span("fri/grind"):
         pow_witness = challenger.grind(config.proof_of_work_bits)
 
+    # Pre-sample every query index (openings never touch the challenger, so
+    # the transcript is identical), then batch-prefetch the device-resident
+    # taptree query paths: every (query, tree) upper-path gather dispatches
+    # asynchronously and ONE jax.device_get materializes them all — instead
+    # of one relay round trip per opening.
+    query_indices = [
+        challenger.sample_bits(log_max_height + extra_query_index_bits)
+        for _ in range(config.num_queries)
+    ]
+    from ..commit.tcs import materialize_path_plans
+
+    plans = []
+    for qti, query_index in enumerate(query_indices):
+        if plan_input is not None:
+            plans += plan_input(qti, query_index)
+        idx = query_index >> extra_query_index_bits
+        for i, layer_data in enumerate(data):
+            plans += layer_data[qti].plan_query(idx >> i >> 1)
+    with span("fri/path-prefetch"):
+        materialize_path_plans(plans)
+
     query_proofs = []
-    for query_times_index in range(config.num_queries):
-        query_index = challenger.sample_bits(log_max_height + extra_query_index_bits)
+    for query_times_index, query_index in enumerate(query_indices):
         query_proofs.append(
             BfQueryProof(
                 input_proof=open_input(query_times_index, query_index),

@@ -93,7 +93,17 @@ def test_device_leaf_construction_and_trees_byte_exact():
         # recompute leaf 5's digest through the device path pieces
         # (the root equality transitively checks them all)
         assert exp is not None
-    assert [u.shape[0] for u in uppers] == [3] * len(uppers)
+        # device-resident uppers: the per-query path gather must equal the
+        # host tree's merkle branch above the cutoff (both prefetched via
+        # plan/materialize and fetched on demand)
+        view = uppers.view(r)
+        for i in (0, 5, 37, n - 1):
+            host_branch = t.get_tapleaf(i).merkle_branch[3:]
+            if i == 5:
+                plan = view.plan(i)
+                assert plan is not None
+                view.materialize(i, np.asarray(plan))
+            assert view.path_bytes(i) == host_branch, (r, i)
 
 
 def test_pallas_sha_kernel_matches_reference_compression():
