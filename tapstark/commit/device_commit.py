@@ -205,13 +205,41 @@ def _head_midstates_jit(blocks, midstate):
     return state
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _suffix_chunk_jit(vals_chunk, idx, tail_span, rem_len, suf_words, pad_key):
+def _suffix_chunk(vals_chunk, idx, pad_words, tail_span, rem_len, suf_words):
     tail = _tail_bytes_chunk(vals_chunk, idx, tail_span)
     n = vals_chunk.shape[0]
     suf = jnp.zeros((n, suf_words * 4), dtype=jnp.uint8)
     suf = suf.at[:, rem_len : rem_len + tail_span].set(tail)
-    return _pack_words(suf)
+    return _pack_words(suf) | pad_words[None, :]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _suffix_all_jit(vals, pad_words, base_index, tail_span, rem_len, suf_words, chunk):
+    """Whole-shard suffix build in ONE program: a lax.map over fixed-size
+    leaf chunks bounds the live intermediates to one chunk's worth while
+    keeping a single device dispatch (the eager per-chunk loop paid one
+    relay round trip per 2^16 leaves — 64 of them for the 2^22-leaf north
+    star)."""
+    from jax import lax
+
+    n = vals.shape[0]
+    if n <= chunk:
+        idx = base_index + jnp.arange(n, dtype=jnp.uint32)
+        return _suffix_chunk(vals, idx, pad_words, tail_span, rem_len, suf_words)
+    pad_n = (-n) % chunk
+    if pad_n:
+        vals = jnp.pad(vals, ((0, pad_n), (0, 0), (0, 0)))
+    nc = vals.shape[0] // chunk
+    vc = vals.reshape(nc, chunk, *vals.shape[1:])
+    starts = base_index + chunk * jnp.arange(nc, dtype=jnp.uint32)
+
+    def body(args):
+        v, i0 = args
+        idx = i0 + jnp.arange(chunk, dtype=jnp.uint32)
+        return _suffix_chunk(v, idx, pad_words, tail_span, rem_len, suf_words)
+
+    out = lax.map(body, (vc, starts)).reshape(nc * chunk, suf_words)
+    return out[:n] if pad_n else out
 
 
 def build_tail_suffix_words(values_shard, plan: ShardSuffixPlan, base_index: int = 0):
@@ -219,16 +247,15 @@ def build_tail_suffix_words(values_shard, plan: ShardSuffixPlan, base_index: int
     (N, suf_words) uint32: the repetition-independent part of each leaf's
     suffix blocks (rem region zeroed, SHA padding included)."""
     vals = jnp.asarray(values_shard)
-    n = vals.shape[0]
-    outs = []
-    for lo in range(0, n, _LEAF_CHUNK):
-        hi = min(lo + _LEAF_CHUNK, n)
-        idx = jnp.arange(lo + base_index, hi + base_index, dtype=jnp.uint32)
-        words = _suffix_chunk_jit(
-            vals[lo:hi], idx, plan.tail_span, plan.rem_len, plan.suf_words, None
-        )
-        outs.append(words | plan.pad_words[None, :])
-    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return _suffix_all_jit(
+        vals,
+        jnp.asarray(plan.pad_words),
+        jnp.uint32(base_index),
+        plan.tail_span,
+        plan.rem_len,
+        plan.suf_words,
+        _LEAF_CHUNK,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("exts",))

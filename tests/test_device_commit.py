@@ -106,6 +106,24 @@ def test_device_leaf_construction_and_trees_byte_exact():
             assert view.path_bytes(i) == host_branch, (r, i)
 
 
+def test_suffix_lax_map_chunks_match_single_dispatch():
+    """The one-program lax.map chunked suffix build (used above 2^16
+    leaves) is byte-identical to the single-chunk path, including the
+    pad-to-multiple slice."""
+    from tapstark.commit.tcs import _max_tail_len
+
+    rng = np.random.default_rng(5)
+    n, k, l = 100, 2, 4  # non-multiple of the small chunk exercises padding
+    vals = rng.integers(0, P, (n, k, l), dtype=np.uint64).astype(np.uint32)
+    head = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    plan = dc.ShardSuffixPlan(len(head), len(head) + _max_tail_len(k, l))
+    args = (jnp.asarray(plan.pad_words), jnp.uint32(7), plan.tail_span,
+            plan.rem_len, plan.suf_words)
+    a = np.asarray(dc._suffix_all_jit(jnp.asarray(vals), *args[:2], *args[2:], 1 << 16))
+    b = np.asarray(dc._suffix_all_jit(jnp.asarray(vals), *args[:2], *args[2:], 16))
+    assert np.array_equal(a, b)
+
+
 def test_pallas_sha_kernel_matches_reference_compression():
     """The TPU Pallas SHA-256 kernel (fully unrolled rounds in registers)
     against the numpy reference compression. Skipped off-TPU: interpret
