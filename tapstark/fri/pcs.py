@@ -44,9 +44,9 @@ from ..field.constants import P as P_INT
 from ..field.scalar import EF4, F
 from ..poly.domain import TwoAdicMultiplicativeCoset
 from ..poly.ntt import bit_reverse_rows, coset_lde_batch_auto
-from ..poly.powers import np_geom_powers
+from ..poly.powers import bitrev_1d_dev, geom_powers_mont_dev
 from ..poly.reduce import fp_sum_axis0
-from ..utils import bitrev_indices, log2_strict, reverse_bits_len
+from ..utils import log2_strict, reverse_bits_len
 from . import prover as fri_prover
 from . import verifier as fri_verifier
 from .config import FriConfig
@@ -242,8 +242,6 @@ class TwoAdicFriPcs:
             alpha_pows_host.append(ap)
             ap = ap * alpha
 
-        from ..poly.interpolate import _coset_points_mont
-
         reduced_openings: dict[int, Any] = {}
         ys_slices: dict[tuple[int, int, int], Any] = {}
         for lh, g in sorted(heights.items(), reverse=True):
@@ -288,7 +286,12 @@ class TwoAdicFriPcs:
                 scales_np[p_idx] = scale.as_u32_vec()
             zs_dev = jnp.asarray(np_to_mont(zs_np))
             scales_dev = jnp.asarray(np_to_mont(scales_np))
-            xs = jnp.asarray(_coset_points_mont(log2_strict(n_low), shift))
+            # coset points built ON device (a 2^20-point host table is a
+            # multi-second upload over the relay)
+            log_low = log2_strict(n_low)
+            xs = geom_powers_mont_dev(
+                F.two_adic_generator(log_low).v, log_low, shift
+            )
             invd = jnp.stack(
                 [
                     inv_denoms[point][:h]
@@ -382,9 +385,9 @@ class TwoAdicFriPcs:
 
         max_log = max(max_log_height_for_point.values())
         g = F.two_adic_generator(max_log).v
-        xs = np_geom_powers(g, 1 << max_log, shift=F.generator().v)
-        xs = xs[bitrev_indices(max_log)]
-        xs_dev = jnp.asarray(np_to_mont(xs))
+        # powers + bit-reversal on device: no 2^22-point host upload
+        xs_nat = geom_powers_mont_dev(g, max_log, F.generator().v)
+        xs_dev = bitrev_1d_dev(xs_nat, max_log)
 
         out = {}
         for z, log_height in max_log_height_for_point.items():

@@ -17,7 +17,6 @@ from ..field.constants import P
 from ..field.device import MONT_ONE, fp_inv, fp_mul, fp_pow, fp_sub, np_to_mont
 from ..field.scalar import EF4, F
 from ..utils import log2_ceil, log2_strict
-from .powers import np_geom_powers
 
 
 @dataclass(frozen=True)
@@ -87,21 +86,52 @@ class TwoAdicMultiplicativeCoset:
 
     def selectors_on_coset(self, coset: "TwoAdicMultiplicativeCoset") -> LagrangeSelectors:
         """Selectors of this (shift-1) domain evaluated over `coset`, as
-        device (coset.size(),) base Montgomery arrays, natural order."""
+        device (coset.size(),) base Montgomery arrays, natural order.
+
+        Runs as ONE jitted program with the coset points generated on
+        device: the eager form paid a coset-sized host table upload plus
+        ~130 dispatches of inverse pow-chains per prove (seconds over the
+        remote relay)."""
         assert self.shift == 1, "selectors_on_coset expects the natural domain"
         assert self.log_n <= coset.log_n
-        m = coset.size()
-        xs = jnp.asarray(
-            np_to_mont(np_geom_powers(coset.gen().v, m, coset.shift))
+        sels = _selectors_on_coset_jit(
+            gen=coset.gen().v,
+            shift=coset.shift,
+            log_m=coset.log_n,
+            trace_size=self.size(),
+            sub_last=self.gen().inverse().v,
         )
-        one = jnp.uint32(MONT_ONE)
-        zh = fp_sub(fp_pow(xs, self.size()), jnp.broadcast_to(one, xs.shape))
-        sub_last = jnp.uint32(int(np_to_mont(np.array([self.gen().inverse().v], np.uint32))[0]))
-        xs_minus_one = fp_sub(xs, jnp.broadcast_to(one, xs.shape))
-        xs_minus_last = fp_sub(xs, jnp.broadcast_to(sub_last, xs.shape))
-        return LagrangeSelectors(
-            is_first_row=fp_mul(zh, fp_inv(xs_minus_one)),
-            is_last_row=fp_mul(zh, fp_inv(xs_minus_last)),
-            is_transition=xs_minus_last,
-            inv_zeroifier=fp_inv(zh),
-        )
+        return LagrangeSelectors(*sels)
+
+def _selectors_impl(gen: int, shift: int, log_m: int, trace_size: int, sub_last: int):
+    from .powers import _geom_powers_mont_impl, _scalar_mont
+
+    xs = _geom_powers_mont_impl(_scalar_mont(gen), _scalar_mont(shift), log_m)
+    one = jnp.uint32(MONT_ONE)
+    zh = fp_sub(fp_pow(xs, trace_size), jnp.broadcast_to(one, xs.shape))
+    last = jnp.uint32(int(np_to_mont(np.array([sub_last], np.uint32))[0]))
+    xs_minus_one = fp_sub(xs, jnp.broadcast_to(one, xs.shape))
+    xs_minus_last = fp_sub(xs, jnp.broadcast_to(last, xs.shape))
+    return (
+        fp_mul(zh, fp_inv(xs_minus_one)),
+        fp_mul(zh, fp_inv(xs_minus_last)),
+        xs_minus_last,
+        fp_inv(zh),
+    )
+
+
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=None)
+def _selectors_on_coset_jit_fn():
+    import jax
+
+    return jax.jit(
+        _selectors_impl,
+        static_argnames=("gen", "shift", "log_m", "trace_size", "sub_last"),
+    )
+
+
+def _selectors_on_coset_jit(**kw):
+    return _selectors_on_coset_jit_fn()(**kw)
