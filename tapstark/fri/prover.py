@@ -103,39 +103,74 @@ def bf_prove(
 
 def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
     inputs_iter = iter(inputs)
-    folded = next(inputs_iter)
+    folded = next(inputs_iter)  # device (n, 4) Montgomery
     pending = next(inputs_iter, None)
+    folded_host = None  # canonical (n, 4) numpy once the host tail starts
 
     commits = []
     data = []
+    from ..commit.tcs import _DEVICE_COMMIT_MIN_LEAVES, _device_commit_enabled
+    from ..field.constants import P
+    from ..poly.fold import fold_matrix_host
     from ..utils.profiling import span
 
+    _, dev_forced = _device_commit_enabled()
+
     stop = config.blowup() * config.final_poly_len()
-    while folded.shape[0] > stop:
-        half = folded.shape[0] // 2
-        mat_dev = folded.reshape(half, 2, 4)
-        with span("fri/layer-fetch"):
-            # background canonical download; query-phase row reads join it
-            mat_host = FMatrix.lazy(mat_dev)
+    while (folded_host.shape[0] if folded_host is not None else folded.shape[0]) > stop:
+        half = (
+            folded_host.shape[0] if folded_host is not None else folded.shape[0]
+        ) // 2
+        # Host tail: once a layer's tree would build on the host anyway
+        # (below the device-commit threshold), fetch the folded layer ONCE
+        # and run the remaining fold+commit loop in exact host numpy — the
+        # per-layer device fold dispatch and canonical-fetch relay round
+        # trips otherwise dominate the small layers on a remote TPU.
+        if (
+            folded_host is None
+            and not dev_forced
+            and half < _DEVICE_COMMIT_MIN_LEAVES
+        ):
+            with span("fri/layer-fetch"):
+                folded_host = fetch_canonical(folded)
+            folded = None
+        if folded_host is not None:
+            mat_arr = folded_host.reshape(half, 2, 4)
+            mat_host = FMatrix(mat_arr)
+        else:
+            mat_dev = folded.reshape(half, 2, 4)
+            with span("fri/layer-fetch"):
+                # background canonical download; query-phase row reads join it
+                mat_host = FMatrix.lazy(mat_dev)
         with span("fri/layer-commit"):
             commit, prover_data = config.mmcs.commit_matrix(mat_host)
         challenger.observe_commitment(commit)
 
         beta: EF4 = challenger.sample()
-        folded = fold_matrix_jit(jnp.asarray(_ef_const_mont(beta)), mat_dev)
+        if folded_host is not None:
+            folded_host = fold_matrix_host(beta, mat_arr)
+        else:
+            folded = fold_matrix_jit(jnp.asarray(_ef_const_mont(beta)), mat_dev)
 
         commits.append(commit)
         data.append(prover_data)
 
-        if pending is not None and pending.shape[0] == folded.shape[0]:
-            folded = ef_add(folded, pending)
+        cur_n = folded_host.shape[0] if folded_host is not None else folded.shape[0]
+        if pending is not None and pending.shape[0] == cur_n:
+            if folded_host is not None:
+                pen = fetch_canonical(pending).astype(np.uint64)
+                folded_host = (
+                    (folded_host.astype(np.uint64) + pen) % np.uint64(P)
+                ).astype(np.uint32)
+            else:
+                folded = ef_add(folded, pending)
             pending = next(inputs_iter, None)
 
-    assert folded.shape[0] == stop
+    final_host = folded_host if folded_host is not None else fetch_canonical(folded)
+    assert final_host.shape[0] == stop
     assert pending is None, (
         "log_final_poly_len too large: an input height was never absorbed"
     )
-    final_host = fetch_canonical(folded)
     if config.log_final_poly_len == 0:
         # `blowup` evaluations of a constant polynomial
         final_poly = EF4([int(x) for x in final_host[0]])

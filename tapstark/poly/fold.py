@@ -24,6 +24,7 @@ from ..field.device import (
     ef_mul,
     ef_mul_base,
     ef_sub,
+    np_from_mont,
     np_to_mont,
 )
 from ..field.scalar import EF4, F
@@ -55,6 +56,47 @@ def fold_matrix(beta_mont, m):
 
 
 fold_matrix_jit = jax.jit(fold_matrix)
+
+
+def _ef_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact EF4 product of canonical (n, 4) uint64 arrays
+    (BabyBear[x]/(x^4 - 11)). Each partial product is reduced before
+    accumulation so every intermediate stays far below 2^64."""
+    pp = np.uint64(P)
+    c = [np.zeros(a.shape[0], dtype=np.uint64) for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            prod = (a[:, i] * b[:, j]) % pp
+            k = i + j
+            if k < 4:
+                c[k] += prod
+            else:
+                c[k - 4] += np.uint64(11) * prod
+    return np.stack([x % pp for x in c], axis=1)
+
+
+def fold_matrix_host(beta: EF4, m: np.ndarray) -> np.ndarray:
+    """Exact host twin of fold_matrix on CANONICAL uint32 arrays: folds a
+    (half, 2, 4) extension matrix to (half, 4). The FRI commit phase uses
+    this for tail layers below the device-commit threshold — their trees
+    build on the host anyway, so folding on the host removes the per-layer
+    device dispatch + canonical-fetch relay round trips (see
+    fri/prover.py:_commit_phase)."""
+    half = m.shape[0]
+    log_half = log2_strict(half)
+    pp = np.uint64(P)
+    ginv = np_from_mont(_g_inv_powers_bitrev(log_half)).astype(np.uint64)  # (half,)
+    inv2 = np.uint64(pow(2, P - 2, P))
+    half_beta = (np.array(beta.c, dtype=np.uint64) * inv2) % pp  # (4,)
+    power = (half_beta[None, :] * ginv[:, None]) % pp  # (half, 4)
+    c_plus = power.copy()
+    c_plus[:, 0] = (c_plus[:, 0] + inv2) % pp
+    c_minus = (pp - power) % pp
+    c_minus[:, 0] = (c_minus[:, 0] + inv2) % pp
+    e0 = m[:, 0, :].astype(np.uint64)
+    e1 = m[:, 1, :].astype(np.uint64)
+    out = (_ef_mul_np(c_plus, e0) + _ef_mul_np(c_minus, e1)) % pp
+    return out.astype(np.uint32)
 
 
 def fold_row_scalar(index: int, log_height: int, beta: EF4, e0: EF4, e1: EF4) -> EF4:
