@@ -72,12 +72,21 @@ def main() -> None:
         if os.environ.get("TAPSTARK_BENCH_COLD") != "1":
             prove(mk(), FibonacciAir(), BfChallenger(), trace, pis)  # warm compiles
 
-        profiling.enable()
-        profiling.reset()
+        # Headline wall-clock: UNPROFILED prove (profiling spans force
+        # per-shard device syncs that serialize async dispatch — on the
+        # remote relay that costs whole seconds). Phases come from a
+        # separate profiled prove and are labeled approximate: forced syncs
+        # make each span absorb upstream async work.
         t0 = time.perf_counter()
         proof = prove(mk(), FibonacciAir(), BfChallenger(), trace, pis)
         dt = time.perf_counter() - t0
         verify(mk(), FibonacciAir(), BfChallenger(), proof, pis)
+
+        profiling.enable()
+        profiling.reset()
+        t0 = time.perf_counter()
+        prove(mk(), FibonacciAir(), BfChallenger(), trace, pis)
+        profiled_dt = time.perf_counter() - t0
         phases = {
             k: round(v["total_s"], 3) for k, v in profiling.report().items()
         }
@@ -89,7 +98,8 @@ def main() -> None:
                     "value": dt,
                     "unit": "s",
                     "rows_per_s": round((1 << log_n) / dt, 1),
-                    "phases": phases,
+                    "profiled_wall_s": round(profiled_dt, 3),
+                    "phases_approx": phases,
                     "backend": jax.default_backend(),
                 }
             ),

@@ -53,6 +53,7 @@ def _rotr(x, n):
     return (x >> jnp.uint32(n)) | (x << jnp.uint32(32 - n))
 
 
+_PALLAS_SUB = 8
 _PALLAS_LANE_BLK = 256
 # Below this many lanes the (relay) dispatch overhead beats the kernel win.
 _PALLAS_MIN_LANES = 1024
@@ -72,7 +73,12 @@ def _sha_pallas_kernel(s_ref, b_ref, o_ref):
     vector registers (the lax.scan form round-trips its (lanes, 24)-word
     carry through HBM on every one of the 64 iterations — 100x the
     compulsory traffic, and the reason the first device taptree commit ran
-    SLOWER than the host SHA-NI engine at 2^22 leaves)."""
+    SLOWER than the host SHA-NI engine at 2^22 leaves).
+
+    Each word variable is a FULL (8, 256) 2-D tile: a 1-D (lanes,) slice
+    lays out as (1, lanes) vregs using one of eight sublanes, so every VPU
+    op would run at 1/8 utilization — the word axis stays in the leading
+    ref dimension and the lane axis is 2-D."""
     w = [b_ref[i] for i in range(16)]
     st = tuple(s_ref[i] for i in range(8))
     for i in range(64):
@@ -88,7 +94,8 @@ def _sha_pallas_kernel(s_ref, b_ref, o_ref):
 
 
 def _compress_batch_pallas(state, block):
-    """Pallas path: lanes on the last (lane) axis, words on sublanes."""
+    """Pallas path: lanes fill full (sublane, lane) = (8, 256) tiles per
+    word; words ride the leading (ref) axis."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -97,25 +104,39 @@ def _compress_batch_pallas(state, block):
     m = int(np.prod(lead)) if lead else 1
     st = jnp.broadcast_to(state, lead + (8,)).reshape(m, 8).T  # (8, M)
     bl = block.reshape(m, 16).T  # (16, M)
-    pad = (-m) % _PALLAS_LANE_BLK
+    tile = _PALLAS_SUB * _PALLAS_LANE_BLK  # messages per grid step
+    pad = (-m) % tile
     if pad:
         st = jnp.pad(st, ((0, 0), (0, pad)))
         bl = jnp.pad(bl, ((0, 0), (0, pad)))
     mp = st.shape[1]
+    g = mp // tile
+    st = st.reshape(8, g * _PALLAS_SUB, _PALLAS_LANE_BLK)
+    bl = bl.reshape(16, g * _PALLAS_SUB, _PALLAS_LANE_BLK)
     out = pl.pallas_call(
         _sha_pallas_kernel,
         interpret=jax.default_backend() != "tpu",
-        grid=(mp // _PALLAS_LANE_BLK,),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((8, _PALLAS_LANE_BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, _PALLAS_LANE_BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, _PALLAS_SUB, _PALLAS_LANE_BLK),
+                lambda j: (0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (16, _PALLAS_SUB, _PALLAS_LANE_BLK),
+                lambda j: (0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (8, _PALLAS_LANE_BLK), lambda j: (0, j), memory_space=pltpu.VMEM
+            (8, _PALLAS_SUB, _PALLAS_LANE_BLK),
+            lambda j: (0, j, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((8, mp), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((8, g * _PALLAS_SUB, _PALLAS_LANE_BLK), jnp.uint32),
     )(st, bl)
-    return out[:, :m].T.reshape(lead + (8,))
+    return out.reshape(8, mp)[:, :m].T.reshape(lead + (8,))
 
 
 def compress_batch(state, block):

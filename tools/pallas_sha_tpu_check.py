@@ -60,16 +60,30 @@ def main() -> None:
     out["lanes_checked"] = int(ref.shape[0])
     out["batch"] = n
     out["first_call_s"] = round(dt, 3)
-    # steady state (device-resident blocks, jitted, queued reps, one sync —
-    # axon block_until_ready caveat)
-    reps = 8
-    blocks_dev = jnp.asarray(blocks)
+    # steady state at a throughput-representative batch: blocks GENERATED
+    # on device (a 2^21-lane host batch would be a ~130 MB relay upload);
+    # correctness was already checked exactly above. Jitted, queued reps,
+    # one tiny fetch to sync (axon block_until_ready caveat).
+    big = 1 << 21
+    reps = 4
+
+    @jax.jit
+    def gen_and_state():
+        b = (
+            jnp.arange(big * 16, dtype=jnp.uint32).reshape(big, 16)
+            * jnp.uint32(0x9E3779B9)
+            ^ jnp.uint32(0xDEADBEEF)
+        )
+        return jnp.broadcast_to(jnp.asarray(IV), (big, 8)), b
+
+    state_big, blocks_big = gen_and_state()
     fn = jax.jit(_compress_batch_pallas)
-    _ = np.asarray(fn(state, blocks_dev)[0, 0])
+    _ = np.asarray(fn(state_big, blocks_big)[0, 0])
     t0 = time.perf_counter()
-    outs = [fn(state, blocks_dev) for _ in range(reps)]
+    outs = [fn(state_big, blocks_big) for _ in range(reps)]
     _ = np.asarray(outs[-1][0, 0])
-    out["compress_per_s"] = round(n * reps / (time.perf_counter() - t0))
+    out["throughput_batch"] = big
+    out["compress_per_s"] = round(big * reps / (time.perf_counter() - t0))
     print(json.dumps(out))
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
