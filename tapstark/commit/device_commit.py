@@ -31,7 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..hashes.sha256 import compact_size, sha256
-from ..hashes.sha256_device import compress_batch, tag_midstate_words, tapbranch_hash_batch
+from ..hashes.sha256_device import (
+    compress_batch,
+    compress_batch_wm,
+    tag_midstate_words,
+    tapbranch_hash_batch_wm,
+)
 from ..script import opcodes as op
 
 _OP_FROMALT = op.OP_FROMALTSTACK
@@ -289,30 +294,6 @@ def padding_matrix_dev(matrices):
     return _padding_dev_jit(devs, exts=exts)
 
 
-def _leaf_hash_jit(suffix_words, midstate, rem_words):
-    """(N, suf_words) suffix + per-rep head midstate/rem -> (N, 8) tapleaf
-    digests. lax.scan over the block axis keeps the compiled program at ONE
-    inlined compression regardless of block count."""
-    from jax import lax
-
-    n, w = suffix_words.shape
-    words = (suffix_words | rem_words[None, :]).reshape(n, w // 16, 16)
-    blocks = jnp.moveaxis(words, 1, 0)  # (nb, N, 16)
-    state0 = jnp.broadcast_to(midstate, (n, 8))
-
-    def body(state, blk):
-        return compress_batch(state, blk), None
-
-    state, _ = lax.scan(body, state0, blocks)
-    return state
-
-
-def _branch_level_jit(level):
-    """One TapBranch level: (n, 8) -> (n/2, 8). Compiled once per shape and
-    shared across repetitions, shards, and FRI layers of the same height."""
-    return tapbranch_hash_batch(level[0::2], level[1::2])
-
-
 @functools.partial(jax.jit, static_argnums=(3,))
 def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
     """ALL repetitions of one shard in one program: suffix (N, W) shared,
@@ -321,35 +302,44 @@ def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
     one (R, total_nodes, 8) array — a single HBM-resident residency for the
     query-path gathers). One device dispatch chain per shard instead of per
     (rep, level) — the relay's per-call latency made per-rep loops the
-    bottleneck."""
+    bottleneck.
+
+    Everything runs WORD-MAJOR ((8|16, R, N) with the hash-word axis
+    leading): the word-minor compress path transposes the whole block
+    tensor to (16, M) around every Pallas call — inside the scan that is
+    ~2 GB of pure relayout HBM traffic per block step at the north star.
+    The per-rep rem words OR into each block INSIDE the scan: a
+    materialized (R, N, nb, 16) tensor would cost R*N*w*4 bytes of HBM
+    (8 GB at the 2^20-row north star with a 16-rep group)."""
     from jax import lax
 
     r, w = rem_words.shape
     n = suffix_words.shape[0]
-    # OR the per-rep rem words into each block INSIDE the scan: materializing
-    # the full (R, N, nb, 16) block tensor first costs R*N*w*4 bytes of HBM
-    # (8 GB at the 2^20-row north star with a 16-rep group)
-    suf_blocks = jnp.moveaxis(suffix_words.reshape(n, w // 16, 16), 1, 0)
-    rem_blocks = jnp.moveaxis(rem_words.reshape(r, w // 16, 16), 1, 0)
-    state0 = jnp.broadcast_to(midstates[:, None, :], (r, n, 8))
+    nb = w // 16
+    suf_wm = suffix_words.T.reshape(nb, 16, n)  # block b, word k -> [b, k, :]
+    rem_wm = rem_words.T.reshape(nb, 16, r)
+    state0 = jnp.broadcast_to(midstates.T[:, :, None], (8, r, n))
 
     def body(state, xs):
-        blk_suf, blk_rem = xs  # (N, 16), (R, 16)
-        return compress_batch(state, blk_suf[None, :, :] | blk_rem[:, None, :]), None
+        blk_suf, blk_rem = xs  # (16, N), (16, R)
+        blk = blk_suf[:, None, :] | blk_rem[:, :, None]  # (16, R, N)
+        return compress_batch_wm(state, blk), None
 
-    level, _ = lax.scan(body, state0, (suf_blocks, rem_blocks))  # (R, N, 8)
+    level, _ = lax.scan(body, state0, (suf_wm, rem_wm))  # (8, R, N)
     depth = max((n - 1).bit_length(), 0)
     upper = []
     for l in range(depth):
-        level = tapbranch_hash_batch(level[:, 0::2, :], level[:, 1::2, :])
+        level = tapbranch_hash_batch_wm(level[:, :, 0::2], level[:, :, 1::2])
         if l + 1 >= cutoff and l + 1 < depth:
             upper.append(level)
     flat = (
-        jnp.concatenate(upper, axis=1)
+        jnp.concatenate(upper, axis=2)
         if upper
-        else jnp.zeros((r, 0, 8), jnp.uint32)
+        else jnp.zeros((8, r, 0), jnp.uint32)
     )
-    return level[:, 0, :], flat
+    # back to lane-minor once, on the small results only: (R, total, 8)
+    # for the query-path gathers, (R, 8) roots
+    return level[:, :, 0].T, jnp.transpose(flat, (1, 2, 0))
 
 
 def _upper_offsets(n: int, cutoff: int) -> list[int]:

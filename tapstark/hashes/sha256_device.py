@@ -93,17 +93,15 @@ def _sha_pallas_kernel(s_ref, b_ref, o_ref):
         o_ref[i] = st[i] + s_ref[i]
 
 
-def _compress_batch_pallas(state, block):
-    """Pallas path: lanes fill full (sublane, lane) = (8, 256) tiles per
+def _pallas_compress_wm(st, bl):
+    """Core Pallas dispatch on WORD-MAJOR operands: st (8, M), bl (16, M)
+    uint32 -> (8, M). Lanes fill full (sublane, lane) = (8, 256) tiles per
     word; words ride the leading (ref) axis."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    lead = block.shape[:-1]
-    m = int(np.prod(lead)) if lead else 1
-    st = jnp.broadcast_to(state, lead + (8,)).reshape(m, 8).T  # (8, M)
-    bl = block.reshape(m, 16).T  # (16, M)
+    m = st.shape[1]
     tile = _PALLAS_SUB * _PALLAS_LANE_BLK  # messages per grid step
     pad = (-m) % tile
     if pad:
@@ -136,7 +134,37 @@ def _compress_batch_pallas(state, block):
         ),
         out_shape=jax.ShapeDtypeStruct((8, g * _PALLAS_SUB, _PALLAS_LANE_BLK), jnp.uint32),
     )(st, bl)
-    return out.reshape(8, mp)[:, :m].T.reshape(lead + (8,))
+    return out.reshape(8, mp)[:, :m]
+
+
+def _compress_batch_pallas(state, block):
+    """Word-minor wrapper: transposes lanes to word-major around the kernel."""
+    lead = block.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    st = jnp.broadcast_to(state, lead + (8,)).reshape(m, 8).T  # (8, M)
+    bl = block.reshape(m, 16).T  # (16, M)
+    return _pallas_compress_wm(st, bl).T.reshape(lead + (8,))
+
+
+def compress_batch_wm(state_wm, block_wm):
+    """WORD-MAJOR batched compression: state (8, ...), block (16, ...) ->
+    (8, ...). On TPU this feeds the Pallas kernel with no lane relayout —
+    the word-minor compress_batch transposes the whole (M, 16) block tensor
+    to (16, M) around every call, which inside the taptree scan is two
+    extra HBM round trips of ~1 GB per block step. Off-TPU it falls back
+    to the scan form via cheap host transposes."""
+    import jax
+
+    lanes_shape = block_wm.shape[1:]
+    m = int(np.prod(lanes_shape)) if lanes_shape else 1
+    if jax.default_backend() == "tpu" and m >= _PALLAS_MIN_LANES:
+        out = _pallas_compress_wm(
+            state_wm.reshape(8, m), block_wm.reshape(16, m)
+        )
+        return out.reshape((8,) + lanes_shape)
+    st = jnp.moveaxis(state_wm, 0, -1)
+    bl = jnp.moveaxis(block_wm, 0, -1)
+    return jnp.moveaxis(compress_batch(st, bl), -1, 0)
 
 
 def compress_batch(state, block):
@@ -262,6 +290,42 @@ def tagged_hash_fixed_batch(tag: bytes, msg_words, msg_bytes: int):
     for i in range(nblocks):
         state = compress_batch(state, padded[..., 16 * i : 16 * i + 16])
     return state
+
+
+@functools.lru_cache(maxsize=None)
+def _tapbranch_pad_words() -> np.ndarray:
+    """(16,) uint32: the constant second block of a TapBranch message
+    (64-byte prefix + 64-byte payload -> 0x80, zeros, bitlen 1024)."""
+    pad = np.zeros(16, dtype=np.uint32)
+    pad[0] = 0x80000000
+    pad[-1] = (64 + 64) * 8
+    return pad
+
+
+def tapbranch_hash_batch_wm(h1, h2):
+    """WORD-MAJOR batched TapBranch: h1, h2 (8, ...) uint32 big-endian
+    digest words -> (8, ...). Same semantics as tapbranch_hash_batch with
+    the word axis leading (no lane relayout around the Pallas compress)."""
+    less = jnp.zeros(h1.shape[1:], dtype=bool)
+    decided = jnp.zeros_like(less)
+    for i in range(8):
+        lt = h1[i] < h2[i]
+        gt = h1[i] > h2[i]
+        less = jnp.where(~decided & lt, True, less)
+        decided = decided | lt | gt
+    lo = jnp.where(less[None], h1, h2)
+    hi = jnp.where(less[None], h2, h1)
+    lanes = h1.shape[1:]
+    mid = jnp.broadcast_to(
+        jnp.asarray(tag_midstate_words(b"TapBranch")).reshape((8,) + (1,) * len(lanes)),
+        (8,) + lanes,
+    )
+    state = compress_batch_wm(mid, jnp.concatenate([lo, hi], axis=0))
+    pad = jnp.broadcast_to(
+        jnp.asarray(_tapbranch_pad_words()).reshape((16,) + (1,) * len(lanes)),
+        (16,) + lanes,
+    )
+    return compress_batch_wm(state, pad)
 
 
 def tapbranch_hash_batch(h1, h2):
