@@ -106,6 +106,7 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
     folded = next(inputs_iter)  # device (n, 4) Montgomery
     pending = next(inputs_iter, None)
     folded_host = None  # canonical (n, 4) numpy once the host tail starts
+    pending_iter = iter(())  # replaces inputs_iter at the host-tail switch
 
     commits = []
     data = []
@@ -131,6 +132,15 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
             and not dev_forced
             and half < _DEVICE_COMMIT_MIN_LEAVES
         ):
+            # Kick off background canonical downloads for every remaining
+            # sub-threshold input FIRST: they are absorbed a few layers
+            # down, and a synchronous fetch there is one blocking relay
+            # round trip per input. The fetches overlap with the folded
+            # layer's own (blocking) fetch and the host fold/commit work.
+            rest = ([pending] if pending is not None else []) + list(inputs_iter)
+            pending_lazy = [FMatrix.lazy(p) for p in rest]
+            pending = pending_lazy[0] if pending_lazy else None
+            pending_iter = iter(pending_lazy[1:])
             with span("fri/layer-fetch"):
                 folded_host = fetch_canonical(folded)
             folded = None
@@ -155,15 +165,17 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
         commits.append(commit)
         data.append(prover_data)
 
-        cur_n = folded_host.shape[0] if folded_host is not None else folded.shape[0]
-        if pending is not None and pending.shape[0] == cur_n:
-            if folded_host is not None:
-                pen = fetch_canonical(pending).astype(np.uint64)
+        if folded_host is not None:
+            # host tail: pending entries are FMatrix.lazy wrappers whose
+            # canonical downloads started at the tail switch — .values joins
+            if pending is not None and pending.height == folded_host.shape[0]:
+                pen = pending.values.astype(np.uint64)
                 folded_host = (
                     (folded_host.astype(np.uint64) + pen) % np.uint64(P)
                 ).astype(np.uint32)
-            else:
-                folded = ef_add(folded, pending)
+                pending = next(pending_iter, None)
+        elif pending is not None and pending.shape[0] == folded.shape[0]:
+            folded = ef_add(folded, pending)
             pending = next(inputs_iter, None)
 
     final_host = folded_host if folded_host is not None else fetch_canonical(folded)

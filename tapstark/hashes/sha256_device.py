@@ -56,6 +56,11 @@ def _rotr(x, n):
 _PALLAS_SUB = 8
 _PALLAS_LANE_BLK = 256
 # Below this many lanes the (relay) dispatch overhead beats the kernel win.
+# Note the pad granularity is _PALLAS_SUB * _PALLAS_LANE_BLK = 2048 lanes
+# (one full grid step of (8, 256) vregs per word), so batches in
+# [1024, 2048) pad up to 2048 — accepted: one padded grid step is still far
+# cheaper than 1024+ lanes of the 64-iteration scan fallback, whose carry
+# round-trips through HBM every round.
 _PALLAS_MIN_LANES = 1024
 
 
@@ -261,6 +266,26 @@ def tag_midstate_words(tag: bytes) -> np.ndarray:
     return _compress_np(IV.copy(), block)
 
 
+@functools.lru_cache(maxsize=None)
+def _tag_msg_padding_words(msg_bytes: int) -> np.ndarray:
+    """SHA-256 padding words appended to a word-aligned tagged-hash message
+    of msg_bytes bytes (the 64-byte sha256(tag)||sha256(tag) prefix block
+    counts toward the encoded bit length). Single source of truth for both
+    the generic tagged hash and the constant TapBranch second block."""
+    assert msg_bytes % 4 == 0
+    w = msg_bytes // 4
+    total = 64 + msg_bytes  # prefix block + message
+    # padding for the FULL sha256 input (prefix included in the bit length)
+    pad_total = msg_bytes + 1 + 8
+    nblocks = -(-pad_total // 64)
+    pad = np.zeros(nblocks * 16 - w, dtype=np.uint32)
+    pad[0] = 0x80000000
+    bitlen = total * 8
+    pad[-2] = (bitlen >> 32) & 0xFFFFFFFF
+    pad[-1] = bitlen & 0xFFFFFFFF
+    return pad
+
+
 def tagged_hash_fixed_batch(tag: bytes, msg_words, msg_bytes: int):
     """Batched tagged_hash over fixed-length messages that are a whole
     number of u32 words: msg_words (..., W) uint32 big-endian -> (..., 8).
@@ -268,16 +293,9 @@ def tagged_hash_fixed_batch(tag: bytes, msg_words, msg_bytes: int):
     w = msg_words.shape[-1]
     lead = msg_words.shape[:-1]
     assert msg_bytes == 4 * w
-    total = 64 + msg_bytes  # prefix block + message
-    # padding for the FULL sha256 input (prefix included in the bit length)
-    pad_total = msg_bytes + 1 + 8
-    nblocks = -(-pad_total // 64)
-    pad_len_words = nblocks * 16 - w
-    pad = np.zeros(pad_len_words, dtype=np.uint32)
-    pad[0] = 0x80000000
-    bitlen = total * 8
-    pad[-2] = (bitlen >> 32) & 0xFFFFFFFF
-    pad[-1] = bitlen & 0xFFFFFFFF
+    pad = _tag_msg_padding_words(msg_bytes)
+    pad_len_words = pad.shape[0]
+    nblocks = (w + pad_len_words) // 16
 
     state = jnp.broadcast_to(jnp.asarray(tag_midstate_words(tag)), lead + (8,))
     padded = jnp.concatenate(
@@ -292,37 +310,40 @@ def tagged_hash_fixed_batch(tag: bytes, msg_words, msg_bytes: int):
     return state
 
 
-@functools.lru_cache(maxsize=None)
-def _tapbranch_pad_words() -> np.ndarray:
-    """(16,) uint32: the constant second block of a TapBranch message
-    (64-byte prefix + 64-byte payload -> 0x80, zeros, bitlen 1024)."""
-    pad = np.zeros(16, dtype=np.uint32)
-    pad[0] = 0x80000000
-    pad[-1] = (64 + 64) * 8
-    return pad
+def _lex_sort_pair(h1, h2, word_axis: int):
+    """Sort two batched 8-word big-endian digests lexicographically per
+    lane: returns (lo, hi). `word_axis` is the axis holding the 8 digest
+    words (0 for word-major tensors, -1 for word-minor) — lexicographic
+    byte order equals big-endian word-array order. Shared by both
+    tapbranch_hash_batch layouts so the compare cannot diverge."""
+    less = decided = None
+    for i in range(8):
+        w1 = jnp.take(h1, i, axis=word_axis)
+        w2 = jnp.take(h2, i, axis=word_axis)
+        lt = w1 < w2
+        if less is None:
+            less, decided = lt, w1 != w2
+        else:
+            less = jnp.where(~decided & lt, True, less)
+            decided = decided | (w1 != w2)
+    m = jnp.expand_dims(less, word_axis)
+    return jnp.where(m, h1, h2), jnp.where(m, h2, h1)
 
 
 def tapbranch_hash_batch_wm(h1, h2):
     """WORD-MAJOR batched TapBranch: h1, h2 (8, ...) uint32 big-endian
     digest words -> (8, ...). Same semantics as tapbranch_hash_batch with
     the word axis leading (no lane relayout around the Pallas compress)."""
-    less = jnp.zeros(h1.shape[1:], dtype=bool)
-    decided = jnp.zeros_like(less)
-    for i in range(8):
-        lt = h1[i] < h2[i]
-        gt = h1[i] > h2[i]
-        less = jnp.where(~decided & lt, True, less)
-        decided = decided | lt | gt
-    lo = jnp.where(less[None], h1, h2)
-    hi = jnp.where(less[None], h2, h1)
+    lo, hi = _lex_sort_pair(h1, h2, 0)
     lanes = h1.shape[1:]
     mid = jnp.broadcast_to(
         jnp.asarray(tag_midstate_words(b"TapBranch")).reshape((8,) + (1,) * len(lanes)),
         (8,) + lanes,
     )
     state = compress_batch_wm(mid, jnp.concatenate([lo, hi], axis=0))
+    # constant second block: 64-byte payload padding from the shared helper
     pad = jnp.broadcast_to(
-        jnp.asarray(_tapbranch_pad_words()).reshape((16,) + (1,) * len(lanes)),
+        jnp.asarray(_tag_msg_padding_words(64)).reshape((16,) + (1,) * len(lanes)),
         (16,) + lanes,
     )
     return compress_batch_wm(state, pad)
@@ -331,16 +352,7 @@ def tapbranch_hash_batch_wm(h1, h2):
 def tapbranch_hash_batch(h1, h2):
     """Batched TapBranch: h1, h2 (N, 8) uint32 big-endian digest words ->
     (N, 8). Pairs sort lexicographically (big-endian word compare)."""
-    # lexicographic (byte) order == big-endian word-array order
-    less = jnp.zeros(h1.shape[:-1], dtype=bool)
-    decided = jnp.zeros_like(less)
-    for i in range(8):
-        lt = h1[..., i] < h2[..., i]
-        gt = h1[..., i] > h2[..., i]
-        less = jnp.where(~decided & lt, True, less)
-        decided = decided | lt | gt
-    lo = jnp.where(less[..., None], h1, h2)
-    hi = jnp.where(less[..., None], h2, h1)
+    lo, hi = _lex_sort_pair(h1, h2, -1)
     return tagged_hash_fixed_batch(
         b"TapBranch", jnp.concatenate([lo, hi], axis=-1), 64
     )

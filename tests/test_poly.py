@@ -139,6 +139,23 @@ def test_fold_matrix_vs_even_odd_identity():
         assert got == EF4(list(folded[i]))
 
 
+def test_fold_matrix_host_matches_device():
+    """fold_matrix_host (the exact-numpy FRI host-tail fold) is the
+    canonical twin of the device fold_matrix kernel on random inputs —
+    direct parity, not just transitively through the prover golden test."""
+    from tapstark.poly.fold import fold_matrix_host
+
+    rng = np.random.default_rng(7)
+    for log_half in (3, 6, 9):
+        half = 1 << log_half
+        m_canon = rng.integers(0, P, (half, 2, 4)).astype(np.uint32)
+        beta = EF4(list(rng.integers(0, P, 4)))
+        beta_mont = to_mont(np.array(beta.c, dtype=np.uint32))
+        dev = np_from_mont(np.asarray(fold_matrix(beta_mont, np_to_mont(m_canon))))
+        host = fold_matrix_host(beta, m_canon)
+        np.testing.assert_array_equal(host, dev)
+
+
 def test_interpolate_coset():
     rng = np.random.default_rng(4)
     log_n = 4
