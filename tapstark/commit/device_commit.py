@@ -435,18 +435,130 @@ def _nodes_to_bytes(nodes: np.ndarray) -> list[bytes]:
     return [bytes(row) for row in b]
 
 
-def shard_trees_rep_group(suffix_words, midstates: np.ndarray, rem_words: np.ndarray, cutoff: int):
-    """A group of repetitions of one shard in one jitted program: returns
-    (roots: [bytes]*R — the only part fetched now — and a DeviceUppers
-    handle whose per-rep views serve query paths later)."""
+@functools.partial(jax.jit, static_argnums=(2,))
+def _value_block_jit(vals, base, block: int):
+    """vals (N, K, L) canonical uint32, base int32 -> (block, K, L): one
+    leaf-block gather (dynamic start, static size)."""
+    return jax.lax.dynamic_slice(
+        vals, (base, 0, 0), (block,) + tuple(vals.shape[1:])
+    )
+
+
+class DeviceValues:
+    """Canonical padding-matrix leaf values kept ON DEVICE through the open
+    phase. Openings only ever read one 2^cutoff-row block per (query,
+    commit) — the leaf-block rebuild plus the opened row — so downloading
+    whole canonical matrices over the relay (~3-7 MB/s either way; ~300 MB
+    across all commits at the 2^20 north star) is almost entirely wasted
+    transfer. plan_tuple(i) dispatches the block gather asynchronously; the
+    FRI prover batches every query's gather (values + upper tree paths)
+    into ONE jax.device_get (materialize_path_plans)."""
+
+    def __init__(self, vals_dev, cutoff: int):
+        self.dev = vals_dev  # (N, K, L) canonical uint32 device array
+        self.n = int(vals_dev.shape[0])
+        self.block = min(1 << cutoff, self.n) if self.n else 1
+        self._pending: dict[int, object] = {}
+        self._cache: dict[int, np.ndarray] = {}
+        self._full: np.ndarray | None = None
+
+    def _base(self, i: int) -> int:
+        return (int(i) // self.block) * self.block
+
+    def plan_tuple(self, i: int):
+        """(view, base, handle) for materialize_path_plans, or None when the
+        block is already cached/pending."""
+        base = self._base(i)
+        if self._full is not None or base in self._cache or base in self._pending:
+            return None
+        h = _value_block_jit(self.dev, jnp.int32(base), self.block)
+        self._pending[base] = h
+        return (self, base, h)
+
+    def materialize(self, base: int, fetched: np.ndarray) -> None:
+        self._pending.pop(base, None)
+        self._cache[base] = np.asarray(fetched)
+
+    def _block(self, base: int) -> np.ndarray:
+        if self._full is not None:
+            return self._full[base : base + self.block]
+        if base not in self._cache:
+            h = self._pending.pop(base, None)
+            if h is None:
+                h = _value_block_jit(self.dev, jnp.int32(base), self.block)
+            self._cache[base] = np.asarray(h)
+        return self._cache[base]
+
+    def full(self) -> np.ndarray:
+        """Whole-matrix fallback for access patterns outside the per-query
+        blocks (none on the prover hot path)."""
+        if self._full is None:
+            self._full = np.asarray(self.dev)
+        return self._full
+
+    def __getitem__(self, k):
+        if isinstance(k, (int, np.integer)):
+            base = self._base(k)
+            return self._block(base)[int(k) - base]
+        return self.full()[k]
+
+    def shard(self, lo: int, hi: int) -> "DeviceValuesShard":
+        return DeviceValuesShard(self, lo, hi)
+
+
+class DeviceValuesShard:
+    """Column-shard view of a DeviceValues (the `values_shard` argument of
+    SparseNativeTaptree): serves whole-block slices from the per-query
+    block cache without materializing the full matrix."""
+
+    def __init__(self, dv: DeviceValues, lo: int, hi: int):
+        self._dv = dv
+        self._lo, self._hi = lo, hi
+
+    def __getitem__(self, k):
+        if isinstance(k, slice) and k.step is None:
+            start = k.start or 0
+            base = self._dv._base(start)
+            if k.stop is not None and k.stop <= base + self._dv.block:
+                blk = self._dv._block(base)
+                return np.ascontiguousarray(
+                    blk[start - base : k.stop - base, self._lo : self._hi]
+                )
+        if isinstance(k, (int, np.integer)):
+            return self._dv[k][self._lo : self._hi]
+        return np.ascontiguousarray(self._dv.full()[k, self._lo : self._hi])
+
+
+def shard_trees_rep_group_async(
+    suffix_words, midstates: np.ndarray, rem_words: np.ndarray, cutoff: int
+):
+    """Dispatch one rep-group's tree program WITHOUT fetching the roots:
+    returns (roots_dev (R, 8), DeviceUppers). The caller batches every
+    (shard, group) root fetch of a commit into one jax.device_get — the
+    per-group blocking fetch was ~40 relay round trips per prove at the
+    north star."""
     roots_dev, flat_dev = _trees_all_reps_jit(
         suffix_words, jnp.asarray(midstates), jnp.asarray(rem_words), cutoff
     )
-    roots_np = jax.device_get(roots_dev)
-    roots = [
+    return roots_dev, DeviceUppers(flat_dev, int(suffix_words.shape[0]), cutoff)
+
+
+def roots_to_bytes(roots_np: np.ndarray) -> list[bytes]:
+    """(R, 8) uint32 root words -> R x 32-byte big-endian root hashes."""
+    return [
         np.ascontiguousarray(roots_np[r].astype(">u4")).tobytes()
         for r in range(roots_np.shape[0])
     ]
-    return roots, DeviceUppers(flat_dev, int(suffix_words.shape[0]), cutoff)
+
+
+def shard_trees_rep_group(suffix_words, midstates: np.ndarray, rem_words: np.ndarray, cutoff: int):
+    """A group of repetitions of one shard in one jitted program: returns
+    (roots: [bytes]*R and a DeviceUppers handle whose per-rep views serve
+    query paths later). Blocking variant of shard_trees_rep_group_async
+    (tests / single-group callers)."""
+    roots_dev, uppers = shard_trees_rep_group_async(
+        suffix_words, midstates, rem_words, cutoff
+    )
+    return roots_to_bytes(jax.device_get(roots_dev)), uppers
 
 

@@ -13,7 +13,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..field.scalar import EF4, F
-from ..utils import log2_ceil
 from .bitcomm import BcManager
 from .tcs import TCS, CommitedData, CommitedProof, FMatrix
 
@@ -52,20 +51,32 @@ class TapTreeMmcs:
     def open_batch(
         self, query_times_index: int, query_index: int, prover_data: list[CommitedData]
     ):
+        """Opened values are sliced from the committed leaf limbs (exactly
+        what the leaf script EQUALVERIFYs) instead of re-read from the
+        FMatrix host copies: the padding matrix interleaves matrices
+        tallest-first with rows repeated, so leaf `query_index` holds row
+        `query_index >> (log_max - log_h)` of every matrix — and reading
+        the leaf row keeps device-backed commitments (DeviceValues) from
+        downloading whole canonical matrices over the relay."""
         data0 = prover_data[0]
-        max_height = data0.get_max_height()
-        log_max = log2_ceil(max_height) if max_height > 1 else 0
-        openings = []
-        for m in data0.leaves:
-            log_h = log2_ceil(m.height) if m.height > 1 else 0
-            reduced_index = query_index >> (log_max - log_h)
-            openings.append(fmatrix_row_scalars(m, reduced_index))
+        heights = [m.height for m in data0.leaves]
+        assert heights == sorted(heights, reverse=True), (
+            "matrices must be passed tallest-first (padding-matrix order)"
+        )
         proof, leaf_limbs = self.tcs.open_with_one_query(
             query_times_index, query_index, prover_data
         )
-        assert [l for row in openings for v in row for l in v.as_u32_vec()] == [
-            l for limbs in leaf_limbs for l in limbs
-        ], "matrix rows must match interleaved leaf values (pass matrices tallest-first)"
+        openings = []
+        pos = 0
+        for m in data0.leaves:
+            w = m.width
+            row = leaf_limbs[pos : pos + w]
+            pos += w
+            if self.ext:
+                openings.append([EF4([int(x) for x in v]) for v in row])
+            else:
+                openings.append([F(int(v[0])) for v in row])
+        assert pos == len(leaf_limbs)
         return openings, proof
 
     def verify_batch(

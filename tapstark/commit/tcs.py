@@ -275,6 +275,22 @@ def _device_commit_enabled() -> tuple[bool, bool]:
     except Exception:  # pragma: no cover
         return False, False
 
+
+def device_commit_will_serve(height: int) -> bool:
+    """True when a commit of `height` leaves will take the device path
+    (and therefore serve leaf values from HBM via per-query block gathers).
+    Callers holding device matrices skip the eager whole-matrix canonical
+    download in that case."""
+    from .. import native
+
+    dev_on, dev_forced = _device_commit_enabled()
+    return (
+        native.get_lib() is not None
+        and dev_on
+        and (dev_forced or height >= _DEVICE_COMMIT_MIN_LEAVES)
+    )
+
+
 _TREE_POOL = None
 
 
@@ -363,50 +379,13 @@ class SparseNativeTaptree:
         )
 
 
-class LazyPadding:
-    """Lazy host padding matrix: defers padding_matrix_np — and with it the
-    join of the matrices' background canonical fetches (FMatrix.lazy) —
-    until the open phase first touches leaf values."""
-
-    def __init__(self, matrices: list):
-        self._matrices = matrices
-        self._arr: np.ndarray | None = None
-
-    def full(self) -> np.ndarray:
-        if self._arr is None:
-            self._arr = padding_matrix_np(self._matrices)
-        return self._arr
-
-    def __getitem__(self, k):
-        return self.full()[k]
-
-    def shard(self, lo: int, hi: int) -> "_LazyShard":
-        return _LazyShard(self, lo, hi)
-
-
-class _LazyShard:
-    """Column-shard view of a LazyPadding (materialized contiguously once)."""
-
-    def __init__(self, padding: LazyPadding, lo: int, hi: int):
-        self._padding = padding
-        self._lo, self._hi = lo, hi
-        self._arr: np.ndarray | None = None
-
-    def __getitem__(self, k):
-        if self._arr is None:
-            self._arr = np.ascontiguousarray(
-                self._padding.full()[:, self._lo : self._hi]
-            )
-        return self._arr[k]
-
-
 @dataclass
 class CommitedData:
     leaves: list[FMatrix]
     trees: list  # one CompleteTaptree | NativeTaptree per column shard
     use_bcs_list: list[UseBComm]  # one per shard
     bounds: list[tuple[int, int]]  # column range per shard
-    values_np: "np.ndarray | LazyPadding"  # (num_leaves, num_values, num_limbs)
+    values_np: "np.ndarray"  # or device_commit.DeviceValues (HBM-resident)
 
     @property
     def commit_taptree(self):
@@ -432,10 +411,15 @@ class CommitedData:
         return [[int(x) for x in v] for v in self.values_np[i]]
 
     def plan_query(self, query_index: int) -> list:
-        """Dispatch async upper-path gathers for every device-backed shard
-        tree of this repetition; returns plan tuples for
+        """Dispatch async upper-path AND leaf-value-block gathers for every
+        device-backed shard tree of this repetition; returns plan tuples for
         materialize_path_plans. Host-built trees contribute nothing."""
         plans = []
+        plan_vals = getattr(self.values_np, "plan_tuple", None)
+        if plan_vals is not None:  # HBM-resident values (DeviceValues)
+            p = plan_vals(query_index)
+            if p is not None:
+                plans.append(p)
         for tree in self.trees:
             plan = getattr(tree, "plan_path", None)
             if plan is not None:
@@ -638,17 +622,26 @@ class TCS:
         # star fits the 16 GB HBM
         group = max(1, min(reps, (1 << 24) // max(n, 1)))
         trees_by_rep = [[None] * len(bounds) for _ in range(reps)]
-        lazy = LazyPadding(matrices) if values_np is None else None
+        dvals = dc.DeviceValues(vals_dev, cutoff) if values_np is None else None
         with span("tcs/tree-builds"):
+            # phase 1: dispatch EVERY (shard, rep-group) tree program async
+            dispatched = []  # (s, g0, g1, roots_dev, uppers, vs)
             for s, (lo, hi) in enumerate(bounds):
                 if values_np is None:
+                    # leaf values stay in HBM; openings gather one block
+                    # per query later (DeviceValues)
                     suffix_src = vals_dev[:, lo:hi]
-                    vs = lazy.shard(lo, hi)
+                    vs = dvals.shard(lo, hi)
                 else:
                     vs = np.ascontiguousarray(values_np[:, lo:hi])
                     suffix_src = vs if vals_dev is None else vals_dev[:, lo:hi]
                 heads = [assignments[r][s][1] for r in range(reps)]
                 fixed0 = assignments[0][s][2]
+                for r in range(reps):
+                    assert (
+                        len(assignments[r][s][1]) == len(heads[0])
+                        and assignments[r][s][2] == fixed0
+                    )
                 plan = dc.ShardSuffixPlan(len(heads[0]), fixed0)
                 with span("tcs/dev-suffix"):
                     suffix = dc.build_tail_suffix_words(suffix_src, plan)
@@ -663,27 +656,35 @@ class TCS:
                 for g0 in range(0, reps, group):
                     g1 = min(g0 + group, reps)
                     with span("tcs/dev-trees"):
-                        roots, uppers = dc.shard_trees_rep_group(
+                        roots_dev, uppers = dc.shard_trees_rep_group_async(
                             suffix, mids[g0:g1], remws[g0:g1], cutoff
                         )
-                    for j, r in enumerate(range(g0, g1)):
-                        use_bcs, head, fixed_len = assignments[r][s]
-                        assert len(head) == len(heads[0]) and fixed_len == fixed0
-                        trees_by_rep[r][s] = SparseNativeTaptree(
-                            roots[j],
-                            uppers.view(j),  # device-resident, path-gathered
-                            n,
-                            head,
-                            fixed_len,
-                            vs,
-                        )
+                    dispatched.append((s, g0, g1, roots_dev, uppers, vs))
+            # phase 2: ONE blocking fetch for every root batch of the commit
+            # (the per-group device_get was ~40 relay round trips per prove)
+            with span("tcs/dev-roots-fetch"):
+                import jax
+
+                fetched = jax.device_get([d[3] for d in dispatched])
+            for (s, g0, g1, _, uppers, vs), roots_np in zip(dispatched, fetched):
+                roots = dc.roots_to_bytes(roots_np)
+                for j, r in enumerate(range(g0, g1)):
+                    use_bcs, head, fixed_len = assignments[r][s]
+                    trees_by_rep[r][s] = SparseNativeTaptree(
+                        roots[j],
+                        uppers.view(j),  # device-resident, path-gathered
+                        n,
+                        head,
+                        fixed_len,
+                        vs,
+                    )
         return [
             CommitedData(
                 leaves=matrices,
                 trees=trees_by_rep[r],
                 use_bcs_list=[assignments[r][s][0] for s in range(len(bounds))],
                 bounds=bounds,
-                values_np=values_np if lazy is None else lazy,
+                values_np=values_np if dvals is None else dvals,
             )
             for r in range(reps)
         ]

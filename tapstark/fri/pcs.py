@@ -174,9 +174,17 @@ class TwoAdicFriPcs:
             lde = bit_reverse_rows(lde)
             domains.append(domain)
             ldes.append(lde)
-            # canonical host copy downloads on a background thread; the
-            # device commit path never blocks on it (relay ~3-7 MB/s)
-            mats_host.append(FMatrix.lazy(lde))
+            from ..commit.tcs import device_commit_will_serve
+
+            if device_commit_will_serve(int(lde.shape[0])):
+                # device commit: leaf values stay in HBM and openings
+                # gather per-query blocks (DeviceValues) — no bulk
+                # canonical download over the ~3-7 MB/s relay
+                mats_host.append(FMatrix(dev=lde))
+            else:
+                # host tree builds need the canonical copy; download on a
+                # background thread overlapped with the quotient phase
+                mats_host.append(FMatrix.lazy(lde))
         commitment, commited = self.mmcs.commit(mats_host)
         return commitment, PcsProverData(domains=domains, ldes=ldes, commited=commited)
 

@@ -149,9 +149,16 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
             mat_host = FMatrix(mat_arr)
         else:
             mat_dev = folded.reshape(half, 2, 4)
-            with span("fri/layer-fetch"):
-                # background canonical download; query-phase row reads join it
-                mat_host = FMatrix.lazy(mat_dev)
+            from ..commit.tcs import device_commit_will_serve
+
+            if device_commit_will_serve(half):
+                # device commit serves leaf values from HBM per query
+                # (DeviceValues block gathers) — no bulk layer download
+                mat_host = FMatrix(dev=mat_dev)
+            else:
+                with span("fri/layer-fetch"):
+                    # background canonical download; query rows join it
+                    mat_host = FMatrix.lazy(mat_dev)
         with span("fri/layer-commit"):
             commit, prover_data = config.mmcs.commit_matrix(mat_host)
         challenger.observe_commitment(commit)

@@ -144,3 +144,46 @@ def test_pallas_sha_kernel_matches_reference_compression():
     out = np.asarray(_compress_batch_pallas(state, jnp.asarray(blocks)))
     for i in (0, 1, 1023, 2047):
         assert np.array_equal(out[i], _compress_np(IV.copy(), blocks[i]))
+
+def test_prove_forced_device_commit_matches_host_proof_bytes():
+    """End-to-end fib prove with TAPSTARK_DEVICE_COMMIT=1: device taptree
+    hashing with HBM-resident leaf values (DeviceValues per-query block
+    gathers, no whole-matrix canonical download) must produce byte-identical
+    proofs to the host engine and verify."""
+    import os
+
+    from tapstark.airs import FibonacciAir, generate_fibonacci_trace
+    from tapstark.challenger import BfChallenger
+    from tapstark.commit import BcManager, TapTreeMmcs
+    from tapstark.field import F
+    from tapstark.fri import FriConfig, TwoAdicFriPcs
+    from tapstark.stark import prove, verify
+    from tapstark.stark.serde import proof_to_bytes
+
+    def run():
+        nq = 3
+        fri = FriConfig(
+            log_blowup=2,
+            num_queries=nq,
+            proof_of_work_bits=4,
+            mmcs=TapTreeMmcs(BcManager(), nq, ext=True),
+        )
+        pcs = TwoAdicFriPcs(TapTreeMmcs(BcManager(), nq, ext=False), fri)
+        trace = generate_fibonacci_trace(0, 1, 256)
+        pis = [F(0), F(1), F(int(trace[-1, 1]))]
+        proof = prove(pcs, FibonacciAir(), BfChallenger(), trace, pis)
+        verify(pcs, FibonacciAir(), BfChallenger(), proof, pis)
+        return proof_to_bytes(proof)
+
+    old = os.environ.get("TAPSTARK_DEVICE_COMMIT")
+    try:
+        os.environ["TAPSTARK_DEVICE_COMMIT"] = "1"
+        dev_bytes = run()
+        os.environ["TAPSTARK_DEVICE_COMMIT"] = "0"
+        host_bytes = run()
+    finally:
+        if old is None:
+            os.environ.pop("TAPSTARK_DEVICE_COMMIT", None)
+        else:
+            os.environ["TAPSTARK_DEVICE_COMMIT"] = old
+    assert dev_bytes == host_bytes
