@@ -133,6 +133,19 @@ def _pack_words(bytes_tensor):
     )
 
 
+def _pack_words_np(bytes_arr: np.ndarray) -> np.ndarray:
+    """Host twin of _pack_words for small constant/remainder buffers: a
+    device round trip (upload, shift kernel, download) for a few hundred
+    bytes costs one relay RTT per (commit, shard) on the remote TPU."""
+    b = bytes_arr.astype(np.uint32)
+    return (
+        (b[..., 0::4] << np.uint32(24))
+        | (b[..., 1::4] << np.uint32(16))
+        | (b[..., 2::4] << np.uint32(8))
+        | b[..., 3::4]
+    )
+
+
 class ShardSuffixPlan:
     """Host-side layout plan for one shard's tapleaf hashing: where the tail
     starts inside the SHA stream and the constant padding."""
@@ -158,7 +171,7 @@ class ShardSuffixPlan:
         pad[suf_bytes - 8 :] = np.frombuffer(
             int(bitlen).to_bytes(8, "big"), dtype=np.uint8
         )
-        self.pad_words = _pack_words(jnp.asarray(pad)).astype(jnp.uint32)
+        self.pad_words = _pack_words_np(pad)
         self.suf_words = suf_bytes // 4
 
     def head_midstates_batch(self, heads: list[bytes]):
@@ -196,8 +209,7 @@ class ShardSuffixPlan:
             rem = m[full:]
             assert len(rem) == self.rem_len
             rems[i, : len(rem)] = np.frombuffer(rem, dtype=np.uint8)
-        remw = np.asarray(_pack_words(jnp.asarray(rems)))
-        return np.asarray(states), remw
+        return np.asarray(states), _pack_words_np(rems)
 
 
 @jax.jit

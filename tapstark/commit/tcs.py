@@ -35,7 +35,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..hashes.sha256 import sha256
+from ..hashes.sha256 import compact_size, sha256
 from ..script import opcodes as op
 from ..script.builder import push_int
 from ..utils import log2_ceil
@@ -226,6 +226,30 @@ def _max_tail_len(num_values: int, num_limbs: int) -> int:
     """Upper bound on the tail: each push is <= 5 bytes (values and indices
     are < 2^31) plus FROMALTSTACK + EQUALVERIFY, then OP_1."""
     return (num_values * num_limbs + 1) * 7 + 1
+
+
+def _head_align_pad(head_len: int, tail_span: int) -> int:
+    """OP_NOP bytes appended to the constant head so each leaf's variable
+    SHA-256 suffix spans the fewest 64-byte blocks.
+
+    Head bytes are FREE per leaf — the tagged-hash midstate over (tag block
+    || leaf_version || compact_size || head) is computed once per
+    (repetition, shard) — while suffix blocks are hashed PER LEAF (device
+    scan kernel / host SHA-NI). Aligning the midstate remainder
+    rem = (len(pre_script) + head_len) % 64 toward 0 drops
+    ceil((rem + tail_span + 9) / 64) by one block for most shard shapes:
+    e.g. the north-star trace shard (tail_span 22) goes from 2 suffix
+    compressions per leaf to 1. compact_size(fixed_len) can change width
+    as the pad grows, so each candidate recomputes it."""
+    best_d, best_b = 0, None
+    for d in range(64):
+        hl = head_len + d
+        pre = 1 + len(compact_size(hl + tail_span))
+        rem = (pre + hl) % 64
+        b = -(-(rem + tail_span + 9) // 64)
+        if best_b is None or b < best_b:
+            best_b, best_d = b, d
+    return best_d
 
 
 def _leaf_script_from_row(
@@ -491,7 +515,11 @@ class TCS:
         eval_locks = [bc.locking_script_parked().build() for bc in evaluations_bc]
         head = _leaf_head(index_lock, eval_locks)
         num_limbs = 4 if ext else 1
-        fixed_len = len(head) + _max_tail_len(num_values, num_limbs)
+        tail_span = _max_tail_len(num_values, num_limbs)
+        # SHA-block alignment: NOP-pad the (midstate-absorbed, per-leaf-free)
+        # head so the per-leaf suffix covers the fewest compression blocks
+        head = head + bytes([op.OP_NOP]) * _head_align_pad(len(head), tail_span)
+        fixed_len = len(head) + tail_span
         return use_bcs, head, fixed_len
 
     def _build_shard(self, values_shard, use_bcs, head, fixed_len):

@@ -20,8 +20,14 @@ compression duplex; v3 commitment-digest absorption — observe_commitment
 absorbs blake3(rep roots) as 8 words instead of 8 words per repetition,
 see tapstark/challenger observe_commitment) from the from-spec blake3
 (validated against the official blake3 test vectors in test_hashes.py) and
-the deterministic prover. They are LOAD-BEARING: do not regenerate them to
-make a failing test pass — a mismatch means semantics drifted.
+the deterministic prover, and again on 2026-08-20 after a fourth layout
+redesign: SHA-block head alignment (tcs._head_align_pad NOP-pads the
+constant leaf head — absorbed once into the shard midstate — so each
+leaf's variable suffix covers the fewest 64-byte compression blocks; the
+golden config's 4-wide quotient shard drops one suffix block per leaf,
+which changes its scripts, roots, transcript, and PoW witness). They are
+LOAD-BEARING: do not regenerate them to make a failing test pass — a
+mismatch means semantics drifted.
 """
 
 import hashlib
@@ -37,9 +43,9 @@ FROZEN_SAMPLE_BITS_16 = 57264
 
 # -- anchor 2: proof bytes freeze ------------------------------------------
 
-GOLDEN_PROOF_SHA256 = "4e3ab2a96bd8e55d7fafbf1f22c047b99c3a0d80b34a7ca62791b3e31a79f809"
-GOLDEN_PROOF_LEN = 870361
-GOLDEN_POW_WITNESS = 89
+GOLDEN_PROOF_SHA256 = "73a2a6b32e057d641283f4eaaade5cf0c0616474bd5623f803dbf6d975bd2d36"
+GOLDEN_PROOF_LEN = 871117
+GOLDEN_POW_WITNESS = 198
 
 
 def test_frozen_challenge_values():
