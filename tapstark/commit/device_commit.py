@@ -35,7 +35,7 @@ from ..hashes.sha256_device import (
     compress_batch,
     compress_batch_wm,
     tag_midstate_words,
-    tapbranch_hash_batch_wm,
+    tapbranch_fused_wm,
 )
 from ..script import opcodes as op
 
@@ -231,48 +231,234 @@ def _suffix_chunk(vals_chunk, idx, pad_words, tail_span, rem_len, suf_words):
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _suffix_all_jit(vals, pad_words, base_index, tail_span, rem_len, suf_words, chunk):
+def _suffix_all_jit(vals, pad_words, idx, tail_span, rem_len, suf_words, chunk):
     """Whole-shard suffix build in ONE program: a lax.map over fixed-size
     leaf chunks bounds the live intermediates to one chunk's worth while
     keeping a single device dispatch (the eager per-chunk loop paid one
     relay round trip per 2^16 leaves — 64 of them for the 2^22-leaf north
-    star)."""
+    star). `idx` (N,) uint32: the committed leaf index per lane (arange
+    for leaf-order storage, its bit-reversal for bitrev storage)."""
     from jax import lax
 
     n = vals.shape[0]
     if n <= chunk:
-        idx = base_index + jnp.arange(n, dtype=jnp.uint32)
         return _suffix_chunk(vals, idx, pad_words, tail_span, rem_len, suf_words)
     pad_n = (-n) % chunk
     if pad_n:
         vals = jnp.pad(vals, ((0, pad_n), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, pad_n),))
     nc = vals.shape[0] // chunk
     vc = vals.reshape(nc, chunk, *vals.shape[1:])
-    starts = base_index + chunk * jnp.arange(nc, dtype=jnp.uint32)
+    ic = idx.reshape(nc, chunk)
 
     def body(args):
-        v, i0 = args
-        idx = i0 + jnp.arange(chunk, dtype=jnp.uint32)
-        return _suffix_chunk(v, idx, pad_words, tail_span, rem_len, suf_words)
+        v, i = args
+        return _suffix_chunk(v, i, pad_words, tail_span, rem_len, suf_words)
 
-    out = lax.map(body, (vc, starts)).reshape(nc * chunk, suf_words)
+    out = lax.map(body, (vc, ic)).reshape(nc * chunk, suf_words)
     return out[:n] if pad_n else out
 
 
-def build_tail_suffix_words(values_shard, plan: ShardSuffixPlan, base_index: int = 0):
+def _bitrev_u32(x, bits: int):
+    """Elementwise bit-reversal of `bits`-bit uint32 values (constant mask
+    swaps — no index table, no gather)."""
+    x = ((x & jnp.uint32(0x55555555)) << 1) | ((x >> 1) & jnp.uint32(0x55555555))
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    x = (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+    return x >> jnp.uint32(32 - bits)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def bitrev_rows_dev(x, log_n: int):
+    """y[p] = x[brv(p)] along axis 0 via two small-digit gathers + one
+    transpose (poly/powers._bitrev_1d_impl scheme) — a full 2^log_n index
+    table would be a multi-MB relay upload."""
+    from ..utils import bitrev_indices
+
+    if log_n <= 1:
+        return x
+    log_c = log_n // 2
+    log_r = log_n - log_c
+    r, c = 1 << log_r, 1 << log_c
+    br = jnp.asarray(bitrev_indices(log_r).astype(np.int32))
+    bc = jnp.asarray(bitrev_indices(log_c).astype(np.int32))
+    z = x.reshape(c, r, *x.shape[1:])[bc][:, br]
+    return jnp.swapaxes(z, 0, 1).reshape(x.shape)
+
+
+_WM_ROW = 256  # lane width of the word-major 2-D vreg form
+# the word-major elementwise builder statically unrolls tail_span x slots
+# select chains; beyond these bounds (wide AIR shards) the jaxpr explodes
+# and the chunked one-hot form takes over
+_WM_MAX_SLOTS = 20
+_WM_MAX_SPAN = 128
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _suffix_wm_jit(vals, base_index, tail_span: int, rem_len: int, pad_tuple, bitrev_bits: int):
+    """WORD-MAJOR suffix build: vals (N, K, L) canonical uint32 ->
+    (suf_words, N) uint32, N a multiple of 256.
+
+    Replaces the (chunk, slots, span) one-hot masked-sum form for the hot
+    shard shapes: that layout put the slot/byte axes in the minor tile
+    dims ((4..9, 64) of an (8, 256)-lane vreg — <25% utilization) and its
+    lax.map chunking added per-chunk overheads, measuring ~10 s for one
+    2^22-leaf shard on the TPU. Here every tensor is a full (N/256, 256)
+    tile and the slot/byte structure lives in statically unrolled python
+    loops of fused elementwise selects — no reductions, no gathers, no
+    relayouts — and the result is emitted word-major so the tapleaf scan
+    consumes it with no transpose."""
+    n, k, l = vals.shape
+    assert n % _WM_ROW == 0
+    rows = n // _WM_ROW
+    nv = k * l
+    # slot order: values reversed, limbs in order; one (rows, 256) tile per
+    # slot (the transpose is one relayout of the S*N input words)
+    sv = vals[:, ::-1, :].reshape(n, nv).T.reshape(nv, rows, _WM_ROW)
+    row_i = jax.lax.broadcasted_iota(jnp.uint32, (rows, _WM_ROW), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.uint32, (rows, _WM_ROW), 1)
+    lane = row_i * jnp.uint32(_WM_ROW) + col_i
+    # bitrev leaf storage (see _trees_all_reps_jit): lane p holds leaf
+    # brv(p) — vals arrive pre-permuted, the committed leaf INDEX is
+    # brv(p), computed elementwise (no index-table gather)
+    leaf_idx = _bitrev_u32(lane, bitrev_bits) if bitrev_bits else base_index + lane
+    slot_vals = [sv[s] for s in range(nv)]
+    slot_vals.append(leaf_idx)
+
+    one = jnp.uint32(1)
+    starts, encs, firsts = [], [], []
+    start = jnp.zeros((rows, _WM_ROW), jnp.uint32)
+    for s, v in enumerate(slot_vals):
+        zero = v == 0
+        small = (v >= one) & (v <= jnp.uint32(16))
+        ndata = (
+            one
+            + (v >= jnp.uint32(0x80)).astype(jnp.uint32)
+            + (v >= jnp.uint32(0x8000)).astype(jnp.uint32)
+            + (v >= jnp.uint32(0x800000)).astype(jnp.uint32)
+        )
+        enc = jnp.where(zero | small, one, one + ndata)
+        first = jnp.where(
+            zero, jnp.uint32(0), jnp.where(small, jnp.uint32(op.OP_1 - 1) + v, ndata)
+        )
+        starts.append(start)
+        encs.append(enc)
+        firsts.append(first)
+        extra = jnp.uint32(3 if s == len(slot_vals) - 1 else 2)
+        start = start + enc + extra
+    total = start  # (rows, 256): data bytes per leaf; the rest is OP_NOP fill
+
+    nop = jnp.uint32(_OP_NOP)
+    fromalt = jnp.uint32(_OP_FROMALT)
+    eqv = jnp.uint32(_OP_EQV)
+    op1 = jnp.uint32(_OP_1)
+    words = []
+    for w in range(len(pad_tuple)):
+        word = None
+        for j in range(4):
+            g = 4 * w + j
+            t = g - rem_len
+            if t < 0 or t >= tail_span:
+                continue  # rem region / SHA padding region: byte 0
+            tu = jnp.uint32(t)
+            # data region [0, total) is filled by the slot selects below;
+            # [total, span) is the OP_NOP script fill
+            b = jnp.where(tu < total, jnp.uint32(0), nop)
+            for s in range(len(slot_vals)):
+                # min slot length is 3 (1-byte push + FROMALT + EQV), so
+                # slots beyond t//3 cannot have started yet — static skip
+                if t < 3 * s:
+                    break
+                p = tu - starts[s]  # wraps when unselected (masked out)
+                extra = 3 if s == len(slot_vals) - 1 else 2
+                in_s = (tu >= starts[s]) & (p < encs[s] + jnp.uint32(extra))
+                # CScriptNum data byte p-1 via constant shifts only: a
+                # per-lane variable shift amount scalarizes on the TPU VPU
+                # (measured seconds instead of milliseconds per shard)
+                v = slot_vals[s]
+                data = jnp.where(
+                    p <= jnp.uint32(1),
+                    v,
+                    jnp.where(
+                        p == jnp.uint32(2),
+                        v >> jnp.uint32(8),
+                        jnp.where(p == jnp.uint32(3), v >> jnp.uint32(16), v >> jnp.uint32(24)),
+                    ),
+                ) & jnp.uint32(0xFF)
+                val = jnp.where(
+                    p == 0,
+                    firsts[s],
+                    jnp.where(
+                        p < encs[s],
+                        data,
+                        jnp.where(
+                            p == encs[s],
+                            fromalt,
+                            jnp.where(p == encs[s] + one, eqv, op1),
+                        ),
+                    ),
+                )
+                b = jnp.where(in_s & (tu < total), val, b)
+            shifted = b << jnp.uint32(24 - 8 * j)
+            word = shifted if word is None else word | shifted
+        if word is None:
+            word = jnp.zeros((rows, _WM_ROW), jnp.uint32)
+        if pad_tuple[w]:
+            word = word | jnp.uint32(pad_tuple[w])
+        words.append(word.reshape(n))
+    return jnp.stack(words)
+
+
+def build_tail_suffix_words(
+    values_shard,
+    plan: ShardSuffixPlan,
+    base_index: int = 0,
+    bitrev_leaf_order: bool = False,
+):
     """values_shard (N, K, L) canonical uint32 (host or device) ->
-    (N, suf_words) uint32: the repetition-independent part of each leaf's
-    suffix blocks (rem region zeroed, SHA padding included)."""
+    WORD-MAJOR (suf_words, N) uint32: the repetition-independent part of
+    each leaf's suffix blocks (rem region zeroed, SHA padding included).
+
+    With `bitrev_leaf_order` (the tree path): values_shard must arrive
+    ROW-BIT-REVERSED (lane p = leaf brv(p), see bitrev_rows_dev) and each
+    lane's committed index slot is brv(p) — the storage order under which
+    every TapBranch level pairs CONTIGUOUS halves (_trees_all_reps_jit).
+
+    Hot shard shapes use the elementwise word-major builder; wide shards
+    (slots/span beyond the static-unroll bounds) fall back to the chunked
+    one-hot form."""
     vals = jnp.asarray(values_shard)
+    n, k, l = vals.shape
+    bits = 0
+    if bitrev_leaf_order:
+        assert n & (n - 1) == 0 and base_index == 0
+        bits = max(n.bit_length() - 1, 1)
+    if k * l + 1 <= _WM_MAX_SLOTS and plan.tail_span <= _WM_MAX_SPAN:
+        pad_n = (-n) % _WM_ROW
+        if pad_n:
+            vals = jnp.pad(vals, ((0, pad_n), (0, 0), (0, 0)))
+        out = _suffix_wm_jit(
+            vals,
+            jnp.uint32(base_index),
+            plan.tail_span,
+            plan.rem_len,
+            tuple(int(x) for x in plan.pad_words),
+            bits,
+        )
+        return out[:, :n] if pad_n else out
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    idx = _bitrev_u32(lane, bits) if bits else jnp.uint32(base_index) + lane
     return _suffix_all_jit(
         vals,
         jnp.asarray(plan.pad_words),
-        jnp.uint32(base_index),
+        idx,
         plan.tail_span,
         plan.rem_len,
         plan.suf_words,
         _LEAF_CHUNK,
-    )
+    ).T
 
 
 @functools.partial(jax.jit, static_argnames=("exts",))
@@ -308,8 +494,8 @@ def padding_matrix_dev(matrices):
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
-    """ALL repetitions of one shard in one program: suffix (N, W) shared,
-    midstates (R, 8) + rem_words (R, W) per rep. Returns (roots (R, 8),
+    """ALL repetitions of one shard in one program: suffix WORD-MAJOR
+    (W, N) shared, midstates (R, 8) + rem_words (R, W) per rep. Returns (roots (R, 8),
     upper levels l in [cutoff, depth) CONCATENATED along the node axis as
     one (R, total_nodes, 8) array — a single HBM-resident residency for the
     query-path gathers). One device dispatch chain per shard instead of per
@@ -322,13 +508,22 @@ def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
     ~2 GB of pure relayout HBM traffic per block step at the north star.
     The per-rep rem words OR into each block INSIDE the scan: a
     materialized (R, N, nb, 16) tensor would cost R*N*w*4 bytes of HBM
-    (8 GB at the 2^20-row north star with a 16-rep group)."""
+    (8 GB at the 2^20-row north star with a 16-rep group).
+
+    Levels live in BIT-REVERSED node order: lane p of an m-bit level holds
+    node brv_m(p), so siblings (2i, 2i+1) sit at (p, p + half) and every
+    level is a CONTIGUOUS halves split — the leaf-order form's stride-2
+    lane slices ran at ~1.8 GB/s on the TPU (291 ms for the first level
+    alone; the whole 22-level loop on halves runs in ~67 ms). The suffix
+    must be built with bitrev_leaf_order=True; node p of the output level
+    is again brv_{m-1}(p), so the invariant propagates to the root."""
     from jax import lax
 
     r, w = rem_words.shape
-    n = suffix_words.shape[0]
+    n = suffix_words.shape[1]
     nb = w // 16
-    suf_wm = suffix_words.T.reshape(nb, 16, n)  # block b, word k -> [b, k, :]
+    # block b, word k -> [b, k, :] (already word-major: no relayout)
+    suf_wm = suffix_words.reshape(nb, 16, n)
     rem_wm = rem_words.T.reshape(nb, 16, r)
     state0 = jnp.broadcast_to(midstates.T[:, :, None], (8, r, n))
 
@@ -341,7 +536,8 @@ def _trees_all_reps_jit(suffix_words, midstates, rem_words, cutoff: int):
     depth = max((n - 1).bit_length(), 0)
     upper = []
     for l in range(depth):
-        level = tapbranch_hash_batch_wm(level[:, :, 0::2], level[:, :, 1::2])
+        half = level.shape[2] // 2
+        level = tapbranch_fused_wm(level[:, :, :half], level[:, :, half:])
         if l + 1 >= cutoff and l + 1 < depth:
             upper.append(level)
     flat = (
@@ -407,10 +603,20 @@ class DeviceUppersPath:
         self._cache: dict[int, list[bytes]] = {}
 
     def _idxs(self, i: int) -> np.ndarray:
+        from ..utils import reverse_bits_len
+
         g = self._g
+        # levels are stored in bit-reversed node order (lane p = node
+        # brv(p), see _trees_all_reps_jit): the sibling NODE index maps
+        # through brv over the level's width
         return np.array(
-            [off + (((i >> l) ^ 1) & ((g.n >> l) - 1))
-             for off, l in zip(g.offsets, range(g.cutoff, g.depth))],
+            [
+                off
+                + reverse_bits_len(
+                    ((i >> l) ^ 1) & ((g.n >> l) - 1), g.depth - l
+                )
+                for off, l in zip(g.offsets, range(g.cutoff, g.depth))
+            ],
             dtype=np.int32,
         )
 
@@ -552,7 +758,7 @@ def shard_trees_rep_group_async(
     roots_dev, flat_dev = _trees_all_reps_jit(
         suffix_words, jnp.asarray(midstates), jnp.asarray(rem_words), cutoff
     )
-    return roots_dev, DeviceUppers(flat_dev, int(suffix_words.shape[0]), cutoff)
+    return roots_dev, DeviceUppers(flat_dev, int(suffix_words.shape[1]), cutoff)
 
 
 def roots_to_bytes(roots_np: np.ndarray) -> list[bytes]:

@@ -651,6 +651,13 @@ class TCS:
         group = max(1, min(reps, (1 << 24) // max(n, 1)))
         trees_by_rep = [[None] * len(bounds) for _ in range(reps)]
         dvals = dc.DeviceValues(vals_dev, cutoff) if values_np is None else None
+        # tree lanes live in BIT-REVERSED leaf order (contiguous-halves
+        # TapBranch levels, see dc._trees_all_reps_jit): one row-bitrev of
+        # the padding matrix per commit feeds every shard's suffix build
+        log_n = max(n.bit_length() - 1, 0)
+        vals_brv = (
+            dc.bitrev_rows_dev(vals_dev, log_n) if vals_dev is not None else None
+        )
         with span("tcs/tree-builds"):
             # phase 1: dispatch EVERY (shard, rep-group) tree program async
             dispatched = []  # (s, g0, g1, roots_dev, uppers, vs)
@@ -658,11 +665,16 @@ class TCS:
                 if values_np is None:
                     # leaf values stay in HBM; openings gather one block
                     # per query later (DeviceValues)
-                    suffix_src = vals_dev[:, lo:hi]
+                    suffix_src = vals_brv[:, lo:hi]
                     vs = dvals.shard(lo, hi)
                 else:
                     vs = np.ascontiguousarray(values_np[:, lo:hi])
-                    suffix_src = vs if vals_dev is None else vals_dev[:, lo:hi]
+                    if vals_brv is not None:
+                        suffix_src = vals_brv[:, lo:hi]
+                    else:
+                        from ..utils import bitrev_indices
+
+                        suffix_src = vs[bitrev_indices(log_n)]
                 heads = [assignments[r][s][1] for r in range(reps)]
                 fixed0 = assignments[0][s][2]
                 for r in range(reps):
@@ -672,7 +684,9 @@ class TCS:
                     )
                 plan = dc.ShardSuffixPlan(len(heads[0]), fixed0)
                 with span("tcs/dev-suffix"):
-                    suffix = dc.build_tail_suffix_words(suffix_src, plan)
+                    suffix = dc.build_tail_suffix_words(
+                        suffix_src, plan, bitrev_leaf_order=True
+                    )
                     if profiling_enabled():
                         # JAX dispatch is async (and the axon relay's
                         # block_until_ready doesn't sync): force a tiny

@@ -330,6 +330,113 @@ def _lex_sort_pair(h1, h2, word_axis: int):
     return jnp.where(m, h1, h2), jnp.where(m, h2, h1)
 
 
+@functools.lru_cache(maxsize=None)
+def _tapbranch_block2_round_consts() -> tuple:
+    """64 uint32 round constants (K[i] + w[i]) for TapBranch's SECOND
+    compression block: its 16 message words are the constant padding block
+    (_tag_msg_padding_words(64)), so the whole 64-word schedule — and its
+    per-round K addition — folds to compile-time constants, removing the
+    schedule-extension arithmetic (~18% of the rounds' ops) from the fused
+    kernel."""
+    m = 0xFFFFFFFF
+
+    def rotr(x, n):
+        return ((x >> n) | (x << (32 - n))) & m
+
+    w = [int(x) for x in _tag_msg_padding_words(64)]
+    for i in range(16, 64):
+        s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & m)
+    return tuple((w[i] + int(_K[i])) & m for i in range(64))
+
+
+def _tapbranch_pallas_kernel(h1_ref, h2_ref, o_ref):
+    """One WHOLE TapBranch node per lane, fused: in-register lexicographic
+    pair sort, first compression over lo||hi from the baked TapBranch
+    midstate, second compression with the fully constant-folded padding
+    block. The unfused form ran compare/select/concat as XLA glue and two
+    separate compress dispatches, round-tripping the (8, lanes) state
+    through HBM between them."""
+    h1 = [h1_ref[i] for i in range(8)]
+    h2 = [h2_ref[i] for i in range(8)]
+    less = decided = None
+    for i in range(8):
+        lt = h1[i] < h2[i]
+        ne = h1[i] != h2[i]
+        if less is None:
+            less, decided = lt, ne
+        else:
+            less = less | (~decided & lt)
+            decided = decided | ne
+    w = [jnp.where(less, a, b) for a, b in zip(h1, h2)]
+    w += [jnp.where(less, b, a) for a, b in zip(h1, h2)]
+    mid = tag_midstate_words(b"TapBranch")
+    st = tuple(jnp.uint32(int(x)) for x in mid)
+    for i in range(64):
+        if i >= 16:
+            w1 = w[i - 15]
+            w14 = w[i - 2]
+            s0 = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> jnp.uint32(3))
+            s1 = _rotr(w14, 17) ^ _rotr(w14, 19) ^ (w14 >> jnp.uint32(10))
+            w.append(w[i - 16] + s0 + w[i - 7] + s1)
+        st = _sha_round_ops(*st, w[i], jnp.uint32(int(_K[i])))
+    st1 = tuple(s + jnp.uint32(int(x)) for s, x in zip(st, mid))
+    st = st1
+    for kw in _tapbranch_block2_round_consts():
+        st = _sha_round_ops(*st, jnp.uint32(0), jnp.uint32(kw))
+    for i in range(8):
+        o_ref[i] = st[i] + st1[i]
+
+
+def _tapbranch_pallas_wm(h1, h2):
+    """Fused-kernel dispatch on WORD-MAJOR digests: h1, h2 (8, M) uint32 ->
+    (8, M). Same tiling discipline as _pallas_compress_wm."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = h1.shape[1]
+    tile = _PALLAS_SUB * _PALLAS_LANE_BLK
+    pad = (-m) % tile
+    if pad:
+        h1 = jnp.pad(h1, ((0, 0), (0, pad)))
+        h2 = jnp.pad(h2, ((0, 0), (0, pad)))
+    mp = h1.shape[1]
+    g = mp // tile
+    h1 = h1.reshape(8, g * _PALLAS_SUB, _PALLAS_LANE_BLK)
+    h2 = h2.reshape(8, g * _PALLAS_SUB, _PALLAS_LANE_BLK)
+    spec = pl.BlockSpec(
+        (8, _PALLAS_SUB, _PALLAS_LANE_BLK),
+        lambda j: (0, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        _tapbranch_pallas_kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=(g,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((8, g * _PALLAS_SUB, _PALLAS_LANE_BLK), jnp.uint32),
+    )(h1, h2)
+    return out.reshape(8, mp)[:, :m]
+
+
+def tapbranch_fused_wm(h1, h2):
+    """WORD-MAJOR TapBranch with the fused Pallas kernel on TPU (enough
+    lanes), falling back to the two-compress XLA form elsewhere. Byte-exact
+    with tapbranch_hash_batch_wm (tools/pallas_sha_tpu_check.py records the
+    on-chip parity run)."""
+    import jax
+
+    lanes = h1.shape[1:]
+    m = int(np.prod(lanes)) if lanes else 1
+    if jax.default_backend() == "tpu" and m >= _PALLAS_MIN_LANES:
+        out = _tapbranch_pallas_wm(h1.reshape(8, m), h2.reshape(8, m))
+        return out.reshape((8,) + lanes)
+    return tapbranch_hash_batch_wm(h1, h2)
+
+
 def tapbranch_hash_batch_wm(h1, h2):
     """WORD-MAJOR batched TapBranch: h1, h2 (8, ...) uint32 big-endian
     digest words -> (8, ...). Same semantics as tapbranch_hash_batch with

@@ -76,7 +76,12 @@ def test_device_leaf_construction_and_trees_byte_exact():
     fixed_len = len(heads[0]) + _max_tail_len(k, l)
 
     plan = dc.ShardSuffixPlan(len(heads[0]), fixed_len)
-    suffix = dc.build_tail_suffix_words(vals, plan)
+    # tree lanes are bit-reversed (contiguous-halves levels): permute the
+    # values and build the suffix in bitrev leaf order, as _commit_device does
+    from tapstark.utils import bitrev_indices
+
+    vals_brv = vals[bitrev_indices(6)]
+    suffix = dc.build_tail_suffix_words(vals_brv, plan, bitrev_leaf_order=True)
     mids, rems = plan.head_midstates_batch(heads)
     roots, uppers = dc.shard_trees_rep_group(suffix, mids, rems, cutoff=3)
 
@@ -117,7 +122,8 @@ def test_suffix_lax_map_chunks_match_single_dispatch():
     vals = rng.integers(0, P, (n, k, l), dtype=np.uint64).astype(np.uint32)
     head = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
     plan = dc.ShardSuffixPlan(len(head), len(head) + _max_tail_len(k, l))
-    args = (jnp.asarray(plan.pad_words), jnp.uint32(7), plan.tail_span,
+    idx = jnp.uint32(7) + jnp.arange(n, dtype=jnp.uint32)
+    args = (jnp.asarray(plan.pad_words), idx, plan.tail_span,
             plan.rem_len, plan.suf_words)
     a = np.asarray(dc._suffix_all_jit(jnp.asarray(vals), *args[:2], *args[2:], 1 << 16))
     b = np.asarray(dc._suffix_all_jit(jnp.asarray(vals), *args[:2], *args[2:], 16))
@@ -187,3 +193,30 @@ def test_prove_forced_device_commit_matches_host_proof_bytes():
         else:
             os.environ["TAPSTARK_DEVICE_COMMIT"] = old
     assert dev_bytes == host_bytes
+
+def test_wordmajor_suffix_builder_matches_onehot_form():
+    """The word-major elementwise suffix builder (hot shapes) is byte-exact
+    with the chunked one-hot form across push-encoding edge values, odd
+    lengths (lane padding), and a nonzero base index."""
+    rng = np.random.default_rng(11)
+    for (n, k, l) in [(64, 3, 4), (300, 2, 1), (256, 8, 1), (512, 2, 4)]:
+        vals = rng.integers(0, P, (n, k, l), dtype=np.uint64).astype(np.uint32)
+        edge = [0, 1, 16, 17, 0x7F, 0x80, 0x7FFF, 0x8000, 0x7FFFFF, 0x800000, P - 1]
+        for i, v in enumerate(edge):
+            vals[i % n, 0, 0] = v
+        head = bytes(rng.integers(0, 256, 731, dtype=np.uint8))
+        plan = dc.ShardSuffixPlan(len(head), len(head) + _max_tail_len(k, l))
+        wm = np.asarray(dc.build_tail_suffix_words(vals, plan, base_index=7))
+        ref = np.asarray(
+            dc._suffix_all_jit(
+                jnp.asarray(vals),
+                jnp.asarray(plan.pad_words),
+                jnp.uint32(7) + jnp.arange(n, dtype=jnp.uint32),
+                plan.tail_span,
+                plan.rem_len,
+                plan.suf_words,
+                1 << 16,
+            )
+        ).T
+        assert wm.shape == (plan.suf_words, n)
+        assert np.array_equal(wm, ref), (n, k, l)

@@ -84,6 +84,38 @@ def main() -> None:
     _ = np.asarray(outs[-1][0, 0])
     out["throughput_batch"] = big
     out["compress_per_s"] = round(big * reps / (time.perf_counter() - t0))
+
+    # fused TapBranch kernel (in-kernel lex sort + both compressions with
+    # the constant-folded padding block) vs the two-compress XLA form and
+    # the exact host tapbranch_hash
+    from tapstark.hashes.sha256 import tapbranch_hash
+    from tapstark.hashes.sha256_device import _tapbranch_pallas_wm
+
+    nt = 4096
+    d1 = rng.integers(0, 1 << 32, (8, nt), dtype=np.uint64).astype(np.uint32)
+    d2 = rng.integers(0, 1 << 32, (8, nt), dtype=np.uint64).astype(np.uint32)
+    d2[:, 0] = d1[:, 0]  # equal-pair lane exercises the full compare chain
+    fused = np.asarray(_tapbranch_pallas_wm(jnp.asarray(d1), jnp.asarray(d2)))
+    tb_ok = True
+    for i in range(0, nt, 129):
+        b1 = np.ascontiguousarray(d1[:, i].astype(">u4")).tobytes()
+        b2 = np.ascontiguousarray(d2[:, i].astype(">u4")).tobytes()
+        want = np.frombuffer(tapbranch_hash(b1, b2), dtype=">u4").astype(np.uint32)
+        tb_ok &= bool(np.array_equal(fused[:, i], want))
+    out["tapbranch_fused_ok"] = tb_ok
+    out["tapbranch_lanes_checked"] = len(range(0, nt, 129))
+    t0 = time.perf_counter()
+    big1 = jnp.asarray(
+        (np.arange(8 * big, dtype=np.uint64) * 0x9E3779B9 % (1 << 32)).astype(np.uint32).reshape(8, big)
+    )
+    big2 = big1 ^ jnp.uint32(0x55555555)
+    fn2 = jax.jit(_tapbranch_pallas_wm)
+    _ = np.asarray(fn2(big1, big2)[0, 0])
+    t0 = time.perf_counter()
+    outs2 = [fn2(big1, big2) for _ in range(reps)]
+    _ = np.asarray(outs2[-1][0, 0])
+    out["tapbranch_nodes_per_s"] = round(big * reps / (time.perf_counter() - t0))
+    out["ok"] = bool(out["ok"] and tb_ok)
     print(json.dumps(out))
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
