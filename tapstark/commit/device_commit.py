@@ -272,20 +272,13 @@ def _bitrev_u32(x, bits: int):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def bitrev_rows_dev(x, log_n: int):
-    """y[p] = x[brv(p)] along axis 0 via two small-digit gathers + one
-    transpose (poly/powers._bitrev_1d_impl scheme) — a full 2^log_n index
-    table would be a multi-MB relay upload."""
-    from ..utils import bitrev_indices
+    """Jitted y[p] = x[brv(p)] along axis 0 (one program per shape).
+    Delegates to poly.ntt.bit_reverse_rows, whose small-digit double-gather
+    form avoids the multi-MB full index-table upload."""
+    from ..poly.ntt import bit_reverse_rows
 
-    if log_n <= 1:
-        return x
-    log_c = log_n // 2
-    log_r = log_n - log_c
-    r, c = 1 << log_r, 1 << log_c
-    br = jnp.asarray(bitrev_indices(log_r).astype(np.int32))
-    bc = jnp.asarray(bitrev_indices(log_c).astype(np.int32))
-    z = x.reshape(c, r, *x.shape[1:])[bc][:, br]
-    return jnp.swapaxes(z, 0, 1).reshape(x.shape)
+    assert x.shape[0] == 1 << log_n
+    return bit_reverse_rows(x)
 
 
 _WM_ROW = 256  # lane width of the word-major 2-D vreg form

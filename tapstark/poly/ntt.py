@@ -145,12 +145,26 @@ def coset_lde_batch(evals, log_blowup: int, shift: int):
 
 
 def bit_reverse_rows(mat):
-    """Permute rows by bit reversal (matches p3-matrix bit_reverse_rows)."""
+    """Permute rows by bit reversal (matches p3-matrix bit_reverse_rows).
+
+    Large heights use the small-digit decomposition
+    y[p1*C + p2] = x[brv_C(p2)*R + brv_R(p1)] — two tiny-table gathers and
+    one transpose — instead of one 2^log_n-entry index gather: the full
+    table is a multi-MB host upload per call and the monolithic take ran
+    at ~2 s for a (2^20, 10) matrix on the TPU relay."""
     log_n = log2_strict(mat.shape[0])
-    if log_n == 0:
+    if log_n <= 1:
         return mat
-    rev = jnp.asarray(bitrev_indices(log_n).astype(np.int32))
-    return jnp.take(mat, rev, axis=0)
+    if log_n <= 10:
+        rev = jnp.asarray(bitrev_indices(log_n).astype(np.int32))
+        return jnp.take(mat, rev, axis=0)
+    log_c = log_n // 2
+    log_r = log_n - log_c
+    r, c = 1 << log_r, 1 << log_c
+    br = jnp.asarray(bitrev_indices(log_r).astype(np.int32))
+    bc = jnp.asarray(bitrev_indices(log_c).astype(np.int32))
+    z = mat.reshape(c, r, *mat.shape[1:])[bc][:, br]
+    return jnp.swapaxes(z, 0, 1).reshape(mat.shape)
 
 
 # jit-compiled entry points (shapes/static args keyed by XLA cache)
