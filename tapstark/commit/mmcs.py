@@ -48,6 +48,14 @@ class TapTreeMmcs:
     def commit_matrix(self, m: FMatrix):
         return self.commit([m])
 
+    def commit_matrix_deferred(self, m: FMatrix):
+        """Device-path commit with the root fetch deferred (FRI device
+        transcript chain): returns a tcs.DeferredDeviceCommit whose
+        finalize(fetched) yields the prover_data list, or None when the
+        device path is not taken (caller falls back to commit_matrix)."""
+        assert m.ext == self.ext
+        return self.tcs.commit_poly_deferred([m], self.num_queries)
+
     def open_batch(
         self, query_times_index: int, query_index: int, prover_data: list[CommitedData]
     ):

@@ -466,6 +466,40 @@ class CommitedData:
         return ShardedCommitedProof(shards=proofs)
 
 
+class DeferredDeviceCommit:
+    """A device taptree commit whose roots have NOT been fetched: every
+    (shard, rep-group) tree program is dispatched (async) and the (R, 8)
+    root arrays stay in HBM. The FRI device transcript chain consumes them
+    directly (challenger/device_tail.py); the host-side CommitedData list
+    materializes later via finalize() from ONE batched jax.device_get over
+    all deferred layers (fri/prover.py flush)."""
+
+    def __init__(self, root_handles, num_shards, finalize_fn):
+        self.root_handles = root_handles  # one (R_g, 8) array per rep-group
+        self.num_shards = num_shards
+        self._finalize = finalize_fn
+        self._done = None
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.root_handles)
+
+    def roots_rep_order_dev(self):
+        """(R, 8) device array of all repetitions' root words in rep order
+        (single-shard commits only — rep-groups dispatch in rep order)."""
+        assert self.num_shards == 1, "sharded commit has no single root order"
+        if len(self.root_handles) == 1:
+            return self.root_handles[0]
+        import jax.numpy as jnp
+
+        return jnp.concatenate(self.root_handles, axis=0)
+
+    def finalize(self, fetched_roots) -> list[CommitedData]:
+        if self._done is None:
+            self._done = self._finalize(fetched_roots)
+        return self._done
+
+
 def materialize_path_plans(plans: list) -> None:
     """Fetch every planned upper-path gather in ONE jax.device_get and hand
     the results back to their path views (relay transfers are latency-bound:
@@ -581,6 +615,18 @@ class TCS:
         device kernel instead (commit/device_commit.py): leaf tails are
         repetition-independent, so the byte construction happens once per
         shard and each repetition re-hashes from its own head midstate."""
+        return self._commit_common(matrices, total_query_times, defer=False)
+
+    def commit_poly_deferred(self, matrices: list[FMatrix], total_query_times: int):
+        """Device-path commit WITHOUT the blocking root fetch: dispatches
+        every tree program and returns a DeferredDeviceCommit whose root
+        handles the caller batches into one jax.device_get (the FRI
+        commit-phase device transcript chain consumes the roots directly
+        from HBM — challenger/device_tail.py). Returns None when the device
+        path is not taken (caller falls back to the synchronous commit)."""
+        return self._commit_common(matrices, total_query_times, defer=True)
+
+    def _commit_common(self, matrices, total_query_times, defer: bool):
         from ..utils.profiling import span
 
         ext = matrices[0].ext
@@ -599,6 +645,8 @@ class TCS:
             from . import device_commit as dc
 
             vals_dev = dc.padding_matrix_dev(matrices)
+        if defer and not use_dev:
+            return None
         if vals_dev is None:
             # host leaf values needed up front (host tree builds, or device
             # path fed from host arrays)
@@ -614,7 +662,7 @@ class TCS:
             ]
         if use_dev:
             return self._commit_device(
-                matrices, values_np, assignments, bounds, vals_dev
+                matrices, values_np, assignments, bounds, vals_dev, defer=defer
             )
         if native.get_lib() is not None and total_query_times > 1:
             with span("tcs/tree-builds"):
@@ -627,7 +675,9 @@ class TCS:
         with span("tcs/tree-builds"):
             return [self._build(matrices, values_np, a, bounds) for a in assignments]
 
-    def _commit_device(self, matrices, values_np, assignments, bounds, vals_dev=None):
+    def _commit_device(
+        self, matrices, values_np, assignments, bounds, vals_dev=None, defer=False
+    ):
         """Device tree builds (TPU): shared per-shard suffix construction,
         then ALL repetitions' tapleaf + TapBranch hashing in one jitted
         program per rep-group (per-rep dispatch loops drown in the remote
@@ -702,12 +752,10 @@ class TCS:
                             suffix, mids[g0:g1], remws[g0:g1], cutoff
                         )
                     dispatched.append((s, g0, g1, roots_dev, uppers, vs))
-            # phase 2: ONE blocking fetch for every root batch of the commit
-            # (the per-group device_get was ~40 relay round trips per prove)
-            with span("tcs/dev-roots-fetch"):
-                import jax
 
-                fetched = jax.device_get([d[3] for d in dispatched])
+        def finalize(fetched):
+            """Build host CommitedData from the fetched root arrays (one
+            per dispatched (shard, rep-group), in dispatch order)."""
             for (s, g0, g1, _, uppers, vs), roots_np in zip(dispatched, fetched):
                 roots = dc.roots_to_bytes(roots_np)
                 for j, r in enumerate(range(g0, g1)):
@@ -720,16 +768,28 @@ class TCS:
                         fixed_len,
                         vs,
                     )
-        return [
-            CommitedData(
-                leaves=matrices,
-                trees=trees_by_rep[r],
-                use_bcs_list=[assignments[r][s][0] for s in range(len(bounds))],
-                bounds=bounds,
-                values_np=values_np if dvals is None else dvals,
+            return [
+                CommitedData(
+                    leaves=matrices,
+                    trees=trees_by_rep[r],
+                    use_bcs_list=[assignments[r][s][0] for s in range(len(bounds))],
+                    bounds=bounds,
+                    values_np=values_np if dvals is None else dvals,
+                )
+                for r in range(reps)
+            ]
+
+        if defer:
+            return DeferredDeviceCommit(
+                [d[3] for d in dispatched], len(bounds), finalize
             )
-            for r in range(reps)
-        ]
+        # phase 2: ONE blocking fetch for every root batch of the commit
+        # (the per-group device_get was ~40 relay round trips per prove)
+        with span("tcs/dev-roots-fetch"):
+            import jax
+
+            fetched = jax.device_get([d[3] for d in dispatched])
+        return finalize(fetched)
 
     def open_with_one_query(
         self, query_times_index: int, query_index: int, prover_data: list[CommitedData]

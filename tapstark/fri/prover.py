@@ -110,18 +110,80 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
 
     commits = []
     data = []
-    from ..commit.tcs import _DEVICE_COMMIT_MIN_LEAVES, _device_commit_enabled
+    from ..challenger.device_tail import DeviceTailChain, chain_supported
+    from ..commit.tcs import (
+        _DEVICE_COMMIT_MIN_LEAVES,
+        _device_commit_enabled,
+        device_commit_will_serve,
+    )
     from ..field.constants import P
     from ..poly.fold import fold_matrix_host
     from ..utils.profiling import span
 
     _, dev_forced = _device_commit_enabled()
 
+    # Device transcript chain: while layer commits run on device, the whole
+    # (commit -> observe roots -> sample beta -> fold) step chains in HBM
+    # with NO host round trip — the transcript-sequential root fetch + host
+    # beta per layer was the dominant remaining latency of the TPU commit
+    # phase. The host challenger catches up at flush_chain() from ONE
+    # batched fetch and every replayed sample is asserted word-identical
+    # to the device chain's (challenger/device_tail.py).
+    chain_ok = chain_supported(challenger, config.num_queries)
+    dev_chain = None
+    deferred = []  # (slot in commits/data, DeferredDeviceCommit, beta handle)
+
+    def flush_chain():
+        if not deferred:
+            return
+        import jax
+
+        handles = []
+        for _, dfr, bw in deferred:
+            handles.extend(dfr.root_handles)
+            handles.append(bw)
+        with span("fri/chain-flush"):
+            fetched = jax.device_get(handles)
+        pos = 0
+        for slot, dfr, _ in deferred:
+            prover_data = dfr.finalize(fetched[pos : pos + dfr.num_groups])
+            pos += dfr.num_groups
+            beta_words = fetched[pos]
+            pos += 1
+            commitment = [d.root_words() for d in prover_data]
+            challenger.observe_commitment(commitment)
+            challenger.sample()
+            assert [int(w) for w in challenger.sample_input[-1]] == [
+                int(x) for x in beta_words
+            ], "device transcript chain diverged from the host challenger"
+            commits[slot] = commitment
+            data[slot] = prover_data
+        deferred.clear()
+
     stop = config.blowup() * config.final_poly_len()
     while (folded_host.shape[0] if folded_host is not None else folded.shape[0]) > stop:
         half = (
             folded_host.shape[0] if folded_host is not None else folded.shape[0]
         ) // 2
+        if folded_host is None and chain_ok and device_commit_will_serve(half):
+            mat_dev = folded.reshape(half, 2, 4)
+            with span("fri/layer-commit"):
+                dfr = config.mmcs.commit_matrix_deferred(FMatrix(dev=mat_dev))
+            if dfr is not None:
+                # FRI layer matrices are 2 ext values -> always one shard
+                if dev_chain is None:
+                    dev_chain = DeviceTailChain(challenger)
+                beta_mont, beta_words = dev_chain.step(dfr.roots_rep_order_dev())
+                folded = fold_matrix_jit(beta_mont, mat_dev)
+                commits.append(None)
+                data.append(None)
+                deferred.append((len(commits) - 1, dfr, beta_words))
+                if pending is not None and pending.shape[0] == folded.shape[0]:
+                    folded = ef_add(folded, pending)
+                    pending = next(inputs_iter, None)
+                continue
+        # any non-chain step advances the host challenger: catch it up first
+        flush_chain()
         # Host tail: once a layer's tree would build on the host anyway
         # (below the device-commit threshold), fetch the folded layer ONCE
         # and run the remaining fold+commit loop in exact host numpy — the
@@ -185,6 +247,7 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
             folded = ef_add(folded, pending)
             pending = next(inputs_iter, None)
 
+    flush_chain()
     final_host = folded_host if folded_host is not None else fetch_canonical(folded)
     assert final_host.shape[0] == stop
     assert pending is None, (

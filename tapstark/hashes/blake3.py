@@ -123,6 +123,81 @@ def blake3(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+# per-round message schedules: round r uses block[PERM_TABLE[r]]
+_PERM_TABLE = []
+_p = list(range(16))
+for _ in range(7):
+    _PERM_TABLE.append(list(_p))
+    _p = [_p[i] for i in MSG_PERMUTATION]
+
+_G_IDX = (
+    (0, 4, 8, 12),
+    (1, 5, 9, 13),
+    (2, 6, 10, 14),
+    (3, 7, 11, 15),
+    (0, 5, 10, 15),
+    (1, 6, 11, 12),
+    (2, 7, 8, 13),
+    (3, 4, 9, 14),
+)
+
+
+def compress_scan(cv, block, counter: int, block_len, flags: int):
+    """jnp compression on VECTOR state: cv (..., 8), block (..., 16) uint32
+    -> (..., 8) digest words, with the 7 rounds as a lax.scan over
+    precomputed message schedules.
+
+    This is the formulation device code must use: the fully unrolled
+    per-word graph (compress / compress_batch) trips a pathological
+    XLA-CPU runtime slowdown at >= 6 unrolled rounds (~200x wall-clock on
+    the scalar graph, measured on jax 0.9.0), while the scanned vector
+    form executes in microseconds and also keeps compile time flat when
+    many compressions chain in one program (FRI device transcript chain,
+    challenger/device_tail.py). block_len may be a traced scalar."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    u32 = jnp.uint32
+    bshape = cv.shape[:-1]
+    tail = jnp.stack(
+        [
+            jnp.broadcast_to(u32(counter & _M32), bshape),
+            jnp.broadcast_to(u32((counter >> 32) & _M32), bshape),
+            jnp.broadcast_to(jnp.asarray(block_len, u32), bshape),
+            jnp.broadcast_to(u32(flags), bshape),
+        ],
+        axis=-1,
+    )
+    iv4 = jnp.broadcast_to(jnp.asarray(IV[:4], u32), bshape + (4,))
+    st = jnp.concatenate([cv, iv4, tail], axis=-1)
+    scheds = jnp.moveaxis(
+        block[..., jnp.asarray(np.array(_PERM_TABLE, dtype=np.int32))], -2, 0
+    )  # (7, ..., 16)
+
+    def rotr(x, n):
+        return (x >> u32(n)) | (x << u32(32 - n))
+
+    def round_body(st, m):
+        for gi, (a, b, c, d) in enumerate(_G_IDX):
+            mx, my = m[..., 2 * gi], m[..., 2 * gi + 1]
+            sa, sb, sc, sd = st[..., a], st[..., b], st[..., c], st[..., d]
+            sa = sa + sb + mx
+            sd = rotr(sd ^ sa, 16)
+            sc = sc + sd
+            sb = rotr(sb ^ sc, 12)
+            sa = sa + sb + my
+            sd = rotr(sd ^ sa, 8)
+            sc = sc + sd
+            sb = rotr(sb ^ sc, 7)
+            st = (
+                st.at[..., a].set(sa).at[..., b].set(sb).at[..., c].set(sc).at[..., d].set(sd)
+            )
+        return st, None
+
+    st, _ = lax.scan(round_body, st, scheds)
+    return st[..., :8] ^ st[..., 8:]
+
+
 def _g_vec(xp, st, a, b, c, d, mx, my):
     def rotr(x, n):
         return (x >> n) | (x << (32 - n))
