@@ -129,11 +129,18 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
     # phase. The host challenger catches up at flush_chain() from ONE
     # batched fetch and every replayed sample is asserted word-identical
     # to the device chain's (challenger/device_tail.py).
-    chain_ok = chain_supported(challenger, config.num_queries)
+    # Bound the chain against the repetition count the deferred commit
+    # actually uses (mmcs.num_queries), not config.num_queries — the two
+    # are equal today, but a divergence would otherwise mis-gate the
+    # single-chunk digest limit inside _blake3_words_dev.
+    chain_ok = chain_supported(challenger, config.mmcs.num_queries)
     dev_chain = None
     deferred = []  # (slot in commits/data, DeferredDeviceCommit, beta handle)
 
     def flush_chain():
+        nonlocal dev_chain
+        # any re-engagement must re-snapshot the caught-up host challenger
+        dev_chain = None
         if not deferred:
             return
         import jax
@@ -153,9 +160,15 @@ def _commit_phase(config: FriConfig, inputs: list, challenger: BfChallenger):
             commitment = [d.root_words() for d in prover_data]
             challenger.observe_commitment(commitment)
             challenger.sample()
-            assert [int(w) for w in challenger.sample_input[-1]] == [
+            if [int(w) for w in challenger.sample_input[-1]] != [
                 int(x) for x in beta_words
-            ], "device transcript chain diverged from the host challenger"
+            ]:
+                # must survive `python -O`: a silent divergence would emit
+                # a proof whose folds used device betas but whose
+                # transcript came from the host replay
+                raise RuntimeError(
+                    "device transcript chain diverged from the host challenger"
+                )
             commits[slot] = commitment
             data[slot] = prover_data
         deferred.clear()
