@@ -105,9 +105,14 @@ class ProverConstraintFolder(AirBuilder):
         public_values: list[F],
         sels,  # LagrangeSelectors of device (m,) arrays
         alpha: EF4,
+        next_rows=None,  # precomputed rolled rows (chunked quotient path)
     ):
         m, width = trace_on_quotient_domain.shape
-        nxt = jnp.roll(trace_on_quotient_domain, -next_step, axis=0)
+        nxt = (
+            jnp.roll(trace_on_quotient_domain, -next_step, axis=0)
+            if next_rows is None
+            else next_rows
+        )
         self._main = TwoRowMatrixView(
             [DExpr(trace_on_quotient_domain[:, j], False) for j in range(width)],
             [DExpr(nxt[:, j], False) for j in range(width)],

@@ -106,6 +106,13 @@ def prove(
 
 _quotient_jit_cache: dict = {}
 
+# Chunked quotient evaluation: engage when the coset matrix exceeds this many
+# elements (rows x width). 2^12-row chunks bound a wide AIR's live constraint
+# intermediates to ~2-3 GB; narrow AIRs (fib at any height) stay on the
+# whole-coset single program.
+_QUOTIENT_CHUNK_ROWS = 1 << 12
+_QUOTIENT_CHUNK_THRESHOLD = 1 << 26
+
 
 def quotient_values(
     air, public_values, trace_domain, quotient_domain, trace_on_quotient_domain, alpha
@@ -134,25 +141,77 @@ def quotient_values(
     )
     fn = _quotient_jit_cache.get(key)
     if fn is None:
+        m, width = trace_on_quotient_domain.shape
+        # Wide AIRs unroll to thousands of constraints; evaluating the whole
+        # coset in one program lets XLA-CPU's buffer assignment keep many
+        # (m, 4) intermediates live at once — the 2^17-row 1548-col Blake3
+        # AIR peaked above 80 GB RSS (OOM on a 125 GB host). Above the
+        # element threshold the rows evaluate in fixed-size chunks under
+        # lax.map: the constraint graph is traced once per CHUNK shape and
+        # live intermediates are bounded to one chunk's worth. Row-local
+        # correctness: every constraint input (trace row, rolled next row,
+        # selectors, inv_zeroifier) is sliced by the same row partition;
+        # the roll happens on the full matrix BEFORE chunking.
+        chunk = _QUOTIENT_CHUNK_ROWS
+        if m > chunk and m % chunk == 0 and m * width > _QUOTIENT_CHUNK_THRESHOLD:
 
-        @jax.jit
-        def fn(tq, first, last, trans, invz, alpha4):
-            folder = ProverConstraintFolder(
-                tq,
-                next_step,
-                public_values,
-                LagrangeSelectors(
-                    is_first_row=first,
-                    is_last_row=last,
-                    is_transition=trans,
-                    inv_zeroifier=invz,
-                ),
-                DExpr(alpha4, True),
-            )
-            air.eval(folder)
-            acc = folder.accumulator
-            assert acc.ext
-            return ef_mul_base(acc.arr, invz)
+            @jax.jit
+            def fn(tq, first, last, trans, invz, alpha4):
+                from jax import lax
+
+                nxt = jnp.roll(tq, -next_step, axis=0)
+                nc = m // chunk
+                args = (
+                    tq.reshape(nc, chunk, width),
+                    nxt.reshape(nc, chunk, width),
+                    first.reshape(nc, chunk),
+                    last.reshape(nc, chunk),
+                    trans.reshape(nc, chunk),
+                    invz.reshape(nc, chunk),
+                )
+
+                def body(a):
+                    tqc, nxtc, f, l, tr, iz = a
+                    folder = ProverConstraintFolder(
+                        tqc,
+                        next_step,
+                        public_values,
+                        LagrangeSelectors(
+                            is_first_row=f,
+                            is_last_row=l,
+                            is_transition=tr,
+                            inv_zeroifier=iz,
+                        ),
+                        DExpr(alpha4, True),
+                        next_rows=nxtc,
+                    )
+                    air.eval(folder)
+                    acc = folder.accumulator
+                    assert acc.ext
+                    return ef_mul_base(acc.arr, iz)
+
+                return lax.map(body, args).reshape(m, 4)
+
+        else:
+
+            @jax.jit
+            def fn(tq, first, last, trans, invz, alpha4):
+                folder = ProverConstraintFolder(
+                    tq,
+                    next_step,
+                    public_values,
+                    LagrangeSelectors(
+                        is_first_row=first,
+                        is_last_row=last,
+                        is_transition=trans,
+                        inv_zeroifier=invz,
+                    ),
+                    DExpr(alpha4, True),
+                )
+                air.eval(folder)
+                acc = folder.accumulator
+                assert acc.ext
+                return ef_mul_base(acc.arr, invz)
 
         _quotient_jit_cache[key] = fn
 
