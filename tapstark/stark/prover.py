@@ -108,10 +108,20 @@ _quotient_jit_cache: dict = {}
 
 # Chunked quotient evaluation: engage when the coset matrix exceeds this many
 # elements (rows x width). 2^12-row chunks bound a wide AIR's live constraint
-# intermediates to ~2-3 GB; narrow AIRs (fib at any height) stay on the
-# whole-coset single program.
+# intermediates to one chunk's worth; narrow AIRs (fib at any height) stay on
+# the whole-coset single program.
+#
+# TPU-backend only (measured, round 5, 2^17x1548 Blake3 AIR on a 125 GB
+# 4-core host): XLA-CPU's compile of the ~25k-op constraint body INSIDE a
+# lax.map while-loop peaked >110 GB (OOM) where the flat whole-coset program
+# peaks ~82 GB — on CPU the compile-pass memory of the loop body exceeds the
+# runtime buffer savings. On a 16 GB-HBM TPU the tradeoff inverts: compiles
+# run on the remote compile service and it is exactly the runtime (m, 4)
+# intermediates that must be bounded. _QUOTIENT_CHUNK_FORCE exists for the
+# CPU equality test.
 _QUOTIENT_CHUNK_ROWS = 1 << 12
 _QUOTIENT_CHUNK_THRESHOLD = 1 << 26
+_QUOTIENT_CHUNK_FORCE = False
 
 
 def quotient_values(
@@ -143,17 +153,22 @@ def quotient_values(
     if fn is None:
         m, width = trace_on_quotient_domain.shape
         # Wide AIRs unroll to thousands of constraints; evaluating the whole
-        # coset in one program lets XLA-CPU's buffer assignment keep many
-        # (m, 4) intermediates live at once — the 2^17-row 1548-col Blake3
-        # AIR peaked above 80 GB RSS (OOM on a 125 GB host). Above the
-        # element threshold the rows evaluate in fixed-size chunks under
-        # lax.map: the constraint graph is traced once per CHUNK shape and
-        # live intermediates are bounded to one chunk's worth. Row-local
+        # coset in one program keeps many (m, 4) intermediates live at once
+        # — far beyond a TPU's HBM for a 2^17-row 1548-col AIR. Above the
+        # element threshold (TPU backend, see the constants' comment for the
+        # measured CPU counter-case) the rows evaluate in fixed-size chunks
+        # under lax.map: the constraint graph is traced once per CHUNK shape
+        # and live intermediates are bounded to one chunk's worth. Row-local
         # correctness: every constraint input (trace row, rolled next row,
         # selectors, inv_zeroifier) is sliced by the same row partition;
         # the roll happens on the full matrix BEFORE chunking.
         chunk = _QUOTIENT_CHUNK_ROWS
-        if m > chunk and m % chunk == 0 and m * width > _QUOTIENT_CHUNK_THRESHOLD:
+        if (
+            m > chunk
+            and m % chunk == 0
+            and m * width > _QUOTIENT_CHUNK_THRESHOLD
+            and (_QUOTIENT_CHUNK_FORCE or jax.default_backend() == "tpu")
+        ):
 
             @jax.jit
             def fn(tq, first, last, trans, invz, alpha4):

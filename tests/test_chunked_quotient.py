@@ -52,6 +52,7 @@ def test_chunked_matches_whole_coset():
     )
     prover_mod._QUOTIENT_CHUNK_ROWS = 1 << 5
     prover_mod._QUOTIENT_CHUNK_THRESHOLD = 1
+    prover_mod._QUOTIENT_CHUNK_FORCE = True
     prover_mod._quotient_jit_cache.clear()
     try:
         chunked = np_from_mont(np.asarray(_quotient(air, trace, pis, alpha)))
@@ -60,6 +61,7 @@ def test_chunked_matches_whole_coset():
             prover_mod._QUOTIENT_CHUNK_ROWS,
             prover_mod._QUOTIENT_CHUNK_THRESHOLD,
         ) = saved
+        prover_mod._QUOTIENT_CHUNK_FORCE = False
         prover_mod._quotient_jit_cache.clear()
 
     assert whole.shape == chunked.shape
